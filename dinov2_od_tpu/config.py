@@ -1,0 +1,297 @@
+"""Configuration for the TPU-native DINOv2 object detector.
+
+Mirrors the hyperparameter surface of the reference `dino_detector/config.py`
+(all defaults match reference values at config.py:1-57), re-expressed as
+frozen dataclasses so configs are hashable and safe to close over in jitted
+functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Mapping, Optional, Tuple
+
+
+# ---------------------------------------------------------------------------
+# Backbone (DINOv2 ViT) architecture table.
+# Matches the HF checkpoints the reference loads by name
+# (reference: dino_detector/models/dinov2_backbone.py:17-27).
+# ---------------------------------------------------------------------------
+_VIT_VARIANTS = {
+    # name: (hidden_dim, depth, heads, mlp_ratio, ffn_type)
+    "small": (384, 12, 6, 4.0, "mlp"),
+    "base": (768, 12, 12, 4.0, "mlp"),
+    "large": (1024, 24, 16, 4.0, "mlp"),
+    "giant": (1536, 40, 24, 8 / 3, "swiglu"),
+}
+
+
+def variant_from_model_name(model_name: str) -> str:
+    """Extract the ViT variant from an HF-style model name.
+
+    Reference behavior: substring match on the model name with a fallback to
+    'base' (dino_detector/models/dinov2_backbone.py:17-27).
+    """
+    for v in ("small", "base", "large", "giant"):
+        if v in model_name:
+            return v
+    return "base"
+
+
+@dataclasses.dataclass(frozen=True)
+class BackboneConfig:
+    """DINOv2 ViT backbone + LoRA configuration."""
+
+    variant: str = "base"
+    image_size: int = 224
+    patch_size: int = 14
+    # LoRA (reference: config.py:23-24; scaling is `alpha`, NOT alpha/r,
+    # matching dino_detector/utils.py:70).
+    lora_r: int = 2
+    lora_alpha: float = 1.0
+    # Number of final encoder blocks that receive LoRA adapters
+    # (reference: dino_detector/models/dinov2_backbone.py:45-51).
+    lora_last_n_blocks: int = 2
+    # Optional projection to the decoder dim (reference:
+    # dino_detector/models/dinov2_backbone.py:33-37). None = no projection
+    # when dims already match.
+    target_dim: Optional[int] = None
+    layerscale_init: float = 1.0
+    drop_cls_token: bool = True  # fix of reference quirk (SURVEY.md §7.5)
+    dtype: str = "float32"  # compute dtype for activations
+
+    @property
+    def hidden_dim(self) -> int:
+        return _VIT_VARIANTS[self.variant][0]
+
+    @property
+    def depth(self) -> int:
+        return _VIT_VARIANTS[self.variant][1]
+
+    @property
+    def num_heads(self) -> int:
+        return _VIT_VARIANTS[self.variant][2]
+
+    @property
+    def mlp_ratio(self) -> float:
+        return _VIT_VARIANTS[self.variant][3]
+
+    @property
+    def ffn_type(self) -> str:
+        return _VIT_VARIANTS[self.variant][4]
+
+    @property
+    def mlp_dim(self) -> int:
+        return int(self.hidden_dim * self.mlp_ratio)
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size * self.grid_size
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1  # +1 CLS
+
+    @property
+    def out_dim(self) -> int:
+        return self.target_dim if self.target_dim is not None else self.hidden_dim
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """DETR decoder configuration (reference: config.py:26-36)."""
+
+    hidden_dim: int = 768
+    num_queries: int = 50
+    num_layers: int = 3
+    num_heads: int = 8
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+    num_classes: int = 91
+    use_deformable: bool = True
+    n_points: int = 2
+    # The reference accidentally ties all deformable decoder layers to a
+    # single weight instance (deformable_attention.py:284). We default to
+    # untied (fixed) weights; set True to reproduce reference behavior.
+    tie_layer_weights: bool = False
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """Hungarian matcher costs (reference: config.py:43-50)."""
+
+    cost_class: float = 1.0
+    cost_bbox: float = 5.0
+    cost_giou: float = 2.0
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Set-criterion loss weights (reference: config.py:52-57)."""
+
+    weight_ce: float = 1.0
+    weight_bbox: float = 5.0
+    weight_giou: float = 2.0
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """Full detector = backbone + decoder (reference: models/detector.py)."""
+
+    backbone: BackboneConfig = BackboneConfig()
+    decoder: DecoderConfig = DecoderConfig()
+
+    def __post_init__(self):
+        # The decoder consumes backbone features; dims must agree
+        # (reference: models/detector.py:38-56 projects backbone -> hidden).
+        if self.backbone.out_dim != self.decoder.hidden_dim:
+            raise ValueError(
+                f"backbone out_dim {self.backbone.out_dim} != decoder "
+                f"hidden_dim {self.decoder.hidden_dim}; set "
+                f"backbone.target_dim to the decoder dim."
+            )
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Input pipeline configuration."""
+
+    image_size: int = 224
+    # Static-shape padding budget for per-image GT boxes. COCO's densest
+    # image has ~93 annotations; 100 covers everything.
+    max_boxes: int = 100
+    # Reference quirk (SURVEY.md §7.4): the reference does NOT apply
+    # ImageNet normalization. We do by default; parity mode disables.
+    normalize: bool = True
+    batch_size: int = 8  # per reference config.py:7 (per device)
+    num_workers: int = 4
+    shuffle_buffer: int = 1000
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    """Optimizer settings (reference: config.py:5, :39-41, train.py:1000)."""
+
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-4
+    gradient_clip_val: float = 1.0
+    gradient_accumulation_steps: int = 1
+    # The reference uses Adam with a weight_decay kwarg (train.py:1000-1004),
+    # i.e. L2-regularized Adam, and no LR schedule.
+    optimizer: str = "adam"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout. data = DP axis, model = TP axis."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    model_parallel_size: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Top-level training configuration."""
+
+    detector: DetectorConfig = DetectorConfig()
+    data: DataConfig = DataConfig()
+    optim: OptimConfig = OptimConfig()
+    matcher: MatcherConfig = MatcherConfig()
+    loss: LossConfig = LossConfig()
+    mesh: MeshConfig = MeshConfig()
+    num_epochs: int = 50
+    seed: int = 42
+    # Debug/overfit mode (reference: config.py:11-14)
+    debug: bool = False
+    debug_samples: int = 32
+    debug_epochs: int = 100
+    debug_lr: float = 5e-4
+    # Checkpointing cadence (reference: train.py:1279-1288)
+    checkpoint_every_epochs: int = 10
+    val_frequency: int = 5
+    log_frequency: int = 10
+
+
+def lightweight_detector_config(
+    num_classes: int = 91,
+    use_deformable: bool = True,
+    n_points: int = 2,
+    image_size: int = 224,
+) -> DetectorConfig:
+    """CPU-runnable tiny config, mirroring the reference `--lightweight`
+    override table (train.py:607-646): dinov2-small backbone, decoder dim
+    256, 25 queries, 2 layers, 4 heads, lora_r 1."""
+    return DetectorConfig(
+        backbone=BackboneConfig(
+            variant="small",
+            image_size=image_size,
+            lora_r=1,
+            lora_alpha=1.0,
+            target_dim=256,
+        ),
+        decoder=DecoderConfig(
+            hidden_dim=256,
+            num_queries=25,
+            num_layers=2,
+            num_heads=4,
+            dim_feedforward=512,
+            num_classes=num_classes,
+            use_deformable=use_deformable,
+            n_points=n_points,
+        ),
+    )
+
+
+def detector_config_for_model_name(
+    model_name: str,
+    num_classes: int = 91,
+    hidden_dim: Optional[int] = 768,
+    num_queries: int = 50,
+    num_layers: int = 3,
+    num_heads: int = 8,
+    dim_feedforward: int = 1024,
+    dropout: float = 0.1,
+    use_deformable: bool = True,
+    n_points: int = 2,
+    lora_r: int = 2,
+    lora_alpha: float = 1.0,
+    image_size: int = 224,
+) -> DetectorConfig:
+    """Build a DetectorConfig from an HF-style model name, reproducing the
+    reference's variant-based dimension defaulting (models/detector.py:25-35).
+    """
+    variant = variant_from_model_name(model_name)
+    backbone_dim = _VIT_VARIANTS[variant][0]
+    if hidden_dim is None:
+        hidden_dim = backbone_dim
+    target_dim = hidden_dim if hidden_dim != backbone_dim else None
+    return DetectorConfig(
+        backbone=BackboneConfig(
+            variant=variant,
+            image_size=image_size,
+            lora_r=lora_r,
+            lora_alpha=lora_alpha,
+            target_dim=target_dim,
+        ),
+        decoder=DecoderConfig(
+            hidden_dim=hidden_dim,
+            num_queries=num_queries,
+            num_layers=num_layers,
+            num_heads=num_heads,
+            dim_feedforward=dim_feedforward,
+            dropout=dropout,
+            num_classes=num_classes,
+            use_deformable=use_deformable,
+            n_points=n_points,
+        ),
+    )

@@ -1,0 +1,20 @@
+"""Test environment: run everything on CPU with 8 virtual devices so the
+multi-chip sharding paths are exercised without TPU hardware."""
+
+import os
+
+# Must be set before jax is imported by any test module.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

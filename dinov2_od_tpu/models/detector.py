@@ -1,0 +1,131 @@
+"""The composed detector: DINOv2 backbone -> DETR decoder.
+
+Reference: dino_detector/models/detector.py (DINOv2ObjectDetector).
+Also home of the trainability policy: the backbone is frozen except LoRA
+adapters on the last N blocks and the projection layer; the decoder is
+fully trainable (reference: dinov2_backbone.py:40-51 — projection created
+before the freeze loop, so it trains).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DetectorConfig
+from .decoder import decoder_apply, init_decoder_params
+from .vit import backbone_apply, init_backbone_params
+
+Params = Dict[str, Any]
+
+
+def init_detector_params(rng: jax.Array, cfg: DetectorConfig) -> Params:
+    kb, kd = jax.random.split(rng)
+    return {
+        "backbone": init_backbone_params(kb, cfg.backbone),
+        "decoder": init_decoder_params(kd, cfg.decoder),
+    }
+
+
+def detector_apply(
+    params: Params,
+    cfg: DetectorConfig,
+    pixel_values: jnp.ndarray,
+    *,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    attn_impl: str = "auto",
+    use_remat: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Full forward pass.
+
+    Args:
+      pixel_values: [B, H, W, 3] images (NHWC).
+
+    Returns:
+      {"pred_logits": [B, Q, C], "pred_boxes": [B, Q, 4]}.
+    """
+    features = backbone_apply(
+        params["backbone"],
+        cfg.backbone,
+        pixel_values,
+        attn_impl=attn_impl,
+        use_remat=use_remat,
+    )
+    return decoder_apply(
+        params["decoder"],
+        cfg.decoder,
+        features,
+        rng=rng,
+        deterministic=deterministic,
+    )
+
+
+def trainable_mask(params: Params, cfg: DetectorConfig) -> Params:
+    """Boolean pytree marking trainable leaves.
+
+    Trainable: decoder (all), backbone projection, and LoRA (A, B) of the
+    last `lora_last_n_blocks` encoder blocks. Everything else is frozen
+    (reference: dinov2_backbone.py:40-51).
+
+    Block params are stacked [depth, ...]; LoRA trainability is per-block,
+    which the optimizer mask can't express leaf-wise — so LoRA leaves are
+    marked trainable here and the per-block zeroing happens in
+    `lora_block_multiplier` applied to updates.
+    """
+
+    def mark(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+        if keys and keys[0] == "decoder":
+            return True
+        if keys and keys[0] == "backbone":
+            if "projection" in keys:
+                return True
+            if keys[-1] in ("lora_A", "lora_B"):
+                return True
+        return False
+
+    return jax.tree_util.tree_map_with_path(mark, params)
+
+
+def lora_block_multiplier(params: Params, cfg: DetectorConfig) -> Params:
+    """Per-leaf multiplier zeroing LoRA updates for non-adapted blocks.
+
+    Backbone block params are stacked along a leading depth axis; this
+    returns a pytree (broadcastable against updates) that is 1.0 for the
+    last `lora_last_n_blocks` entries of every lora_A/lora_B leaf and 0.0
+    for earlier blocks, 1.0 for every other trainable leaf.
+    """
+    depth = cfg.backbone.depth
+    first_adapted = max(0, depth - cfg.backbone.lora_last_n_blocks)
+
+    def mult(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+        if keys and keys[0] == "backbone" and keys[-1] in ("lora_A", "lora_B"):
+            m = jnp.zeros((depth,) + (1,) * (leaf.ndim - 1), leaf.dtype)
+            return m.at[first_adapted:].set(1.0)
+        return jnp.ones((1,) * leaf.ndim, leaf.dtype)
+
+    return jax.tree_util.tree_map_with_path(mult, params)
+
+
+def count_params(params: Params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+def count_trainable_params(params: Params, cfg: DetectorConfig) -> int:
+    """Number of *effectively* trainable parameters (LoRA counted only for
+    adapted blocks), comparable to the reference's requires_grad count."""
+    mask = trainable_mask(params, cfg)
+    mult = lora_block_multiplier(params, cfg)
+
+    def count(leaf, m, f):
+        if not m:
+            return 0
+        frac = float(jnp.mean(jnp.broadcast_to(f, leaf.shape) > 0))
+        return int(leaf.size * frac)
+
+    counts = jax.tree_util.tree_map(count, params, mask, mult)
+    return sum(jax.tree_util.tree_leaves(counts))

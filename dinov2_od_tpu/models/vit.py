@@ -1,0 +1,203 @@
+"""DINOv2 ViT backbone with LoRA adapters, as pure JAX functions.
+
+Capability-equivalent to the reference's frozen HF `Dinov2Model` wrapped
+with LoRA on the last 2 encoder blocks
+(dino_detector/models/dinov2_backbone.py), rebuilt TPU-first:
+
+- Patch embed as `lax.conv_general_dilated` (NHWC) — lowers straight onto
+  the MXU.
+- Pre-norm blocks with LayerScale, fused over depth with `lax.scan` on
+  stacked per-block params (one compiled block body regardless of depth).
+- Attention through `ops.attention.multi_head_attention` (Pallas flash
+  kernel on TPU, XLA fallback elsewhere).
+- Every linear in every block carries LoRA (A, B) factors so the scan body
+  is uniform; which blocks actually *train* their adapters is decided by an
+  optimizer mask (see models.detector.trainable_mask), reproducing the
+  reference's "last 2 blocks only" placement (dinov2_backbone.py:45-51).
+- Optional trainable projection to the decoder dim (dinov2_backbone.py:
+  33-37).
+
+Weights are importable from HF PyTorch checkpoints via
+models.import_torch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BackboneConfig
+from ..ops.attention import multi_head_attention
+from .layers import (
+    layer_norm,
+    layernorm_init,
+    linear,
+    lora_init,
+    lora_linear,
+    torch_linear_init,
+    trunc_normal_init,
+)
+
+Params = Dict[str, Any]
+
+
+def _init_block(rng: jax.Array, cfg: BackboneConfig) -> Params:
+    d, m, r = cfg.hidden_dim, cfg.mlp_dim, cfg.lora_r
+    keys = jax.random.split(rng, 12)
+    fc1_out = 2 * m if cfg.ffn_type == "swiglu" else m
+
+    def adapted(key, i, o):
+        kw, kl = jax.random.split(key)
+        p = torch_linear_init(kw, i, o)
+        p.update(lora_init(kl, i, o, r))
+        return p
+
+    return {
+        "ln1": layernorm_init(d),
+        "q": adapted(keys[0], d, d),
+        "k": adapted(keys[1], d, d),
+        "v": adapted(keys[2], d, d),
+        "proj": adapted(keys[3], d, d),
+        "ls1": jnp.full((d,), cfg.layerscale_init, jnp.float32),
+        "ln2": layernorm_init(d),
+        "fc1": adapted(keys[4], d, fc1_out),
+        "fc2": adapted(keys[5], m, d),
+        "ls2": jnp.full((d,), cfg.layerscale_init, jnp.float32),
+    }
+
+
+def init_backbone_params(rng: jax.Array, cfg: BackboneConfig) -> Params:
+    keys = jax.random.split(rng, cfg.depth + 4)
+    d = cfg.hidden_dim
+
+    blocks = [_init_block(keys[i], cfg) for i in range(cfg.depth)]
+    # Stack per-block params along a leading depth axis for lax.scan.
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+
+    params: Params = {
+        "patch_embed": {
+            "kernel": trunc_normal_init(
+                keys[-4], (cfg.patch_size, cfg.patch_size, 3, d)
+            ),
+            "bias": jnp.zeros((d,), jnp.float32),
+        },
+        "cls_token": trunc_normal_init(keys[-3], (1, 1, d)),
+        "pos_embed": trunc_normal_init(keys[-2], (1, cfg.seq_len, d)),
+        "blocks": stacked,
+        "ln_f": layernorm_init(d),
+    }
+    if cfg.target_dim is not None and cfg.target_dim != d:
+        params["projection"] = torch_linear_init(keys[-1], d, cfg.target_dim)
+    return params
+
+
+def _attention(x: jnp.ndarray, bp: Params, cfg: BackboneConfig, attn_impl: str):
+    b, n, d = x.shape
+    h = cfg.num_heads
+    dh = d // h
+    alpha = cfg.lora_alpha
+    q = lora_linear(x, bp["q"], alpha).reshape(b, n, h, dh)
+    k = lora_linear(x, bp["k"], alpha).reshape(b, n, h, dh)
+    v = lora_linear(x, bp["v"], alpha).reshape(b, n, h, dh)
+    out = multi_head_attention(q, k, v, impl=attn_impl).reshape(b, n, d)
+    return lora_linear(out, bp["proj"], alpha)
+
+
+def _ffn(x: jnp.ndarray, bp: Params, cfg: BackboneConfig):
+    alpha = cfg.lora_alpha
+    h = lora_linear(x, bp["fc1"], alpha)
+    if cfg.ffn_type == "swiglu":
+        x1, x2 = jnp.split(h, 2, axis=-1)
+        h = jax.nn.silu(x1) * x2
+    else:
+        h = jax.nn.gelu(h, approximate=False)
+    return lora_linear(h, bp["fc2"], alpha)
+
+
+def _block_apply(x: jnp.ndarray, bp: Params, cfg: BackboneConfig, attn_impl: str):
+    """Pre-norm ViT block with LayerScale (HF Dinov2Layer semantics)."""
+    x = x + bp["ls1"].astype(x.dtype) * _attention(
+        layer_norm(x, bp["ln1"]), bp, cfg, attn_impl
+    )
+    x = x + bp["ls2"].astype(x.dtype) * _ffn(layer_norm(x, bp["ln2"]), bp, cfg)
+    return x
+
+
+def interpolate_pos_embed(
+    pos_embed: jnp.ndarray, src_grid: int, dst_grid: int
+) -> jnp.ndarray:
+    """Bicubic-resample patch position embeddings to a new grid (the CLS
+    position is passed through). Used by the HF importer when the target
+    image size differs from the checkpoint's native 518px/37x37 grid."""
+    if src_grid == dst_grid:
+        return pos_embed
+    cls_pos, patch_pos = pos_embed[:, :1], pos_embed[:, 1:]
+    d = patch_pos.shape[-1]
+    grid = patch_pos.reshape(1, src_grid, src_grid, d)
+    resized = jax.image.resize(
+        grid, (1, dst_grid, dst_grid, d), method="bicubic"
+    )
+    return jnp.concatenate(
+        [cls_pos, resized.reshape(1, dst_grid * dst_grid, d)], axis=1
+    )
+
+
+def backbone_apply(
+    params: Params,
+    cfg: BackboneConfig,
+    pixel_values: jnp.ndarray,
+    *,
+    attn_impl: str = "auto",
+    use_remat: bool = False,
+) -> jnp.ndarray:
+    """Run the backbone.
+
+    Args:
+      pixel_values: [B, H, W, 3] float images (NHWC — TPU-native layout;
+        the data pipeline emits this directly).
+
+    Returns:
+      [B, seq, out_dim] features; seq = patches (+1 CLS unless
+      cfg.drop_cls_token). Final LayerNorm applied (HF last_hidden_state
+      semantics, dinov2_backbone.py:61); optional projection to target_dim
+      (dinov2_backbone.py:64-65).
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    x = pixel_values.astype(dtype)
+
+    x = jax.lax.conv_general_dilated(
+        x,
+        params["patch_embed"]["kernel"].astype(dtype),
+        window_strides=(cfg.patch_size, cfg.patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params["patch_embed"]["bias"].astype(dtype)
+    b = x.shape[0]
+    x = x.reshape(b, -1, cfg.hidden_dim)
+
+    cls = jnp.broadcast_to(
+        params["cls_token"].astype(dtype), (b, 1, cfg.hidden_dim)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"].astype(dtype)
+
+    block_fn = lambda carry, bp: (
+        _block_apply(carry, bp, cfg, attn_impl),
+        None,
+    )
+    if use_remat:
+        block_fn = jax.checkpoint(block_fn)
+    x, _ = jax.lax.scan(block_fn, x, params["blocks"])
+
+    x = layer_norm(x, params["ln_f"])
+
+    if "projection" in params:
+        x = linear(x, params["projection"])
+
+    if cfg.drop_cls_token:
+        # Fix of reference quirk (SURVEY.md §7.5): keeping CLS makes seq_len
+        # prime (e.g. 257) and degenerates deformable sampling to 1-D.
+        x = x[:, 1:]
+    return x

@@ -1,0 +1,190 @@
+"""Deformable attention sampling, fully vectorized for TPU.
+
+The reference computes bilinear sampling with a Python quadruple loop over
+(batch, query, head, point) with per-element `.item()` device syncs
+(dino_detector/models/deformable_attention.py:147-170) — the single worst
+performance pathology in the reference. Here the same math is four batched
+gathers + a weighted sum, all static-shape and fused by XLA.
+
+Semantics match the reference exactly (validated against a numpy replica of
+the loop in tests/test_deformable.py): offsets and attention weights are
+linear projections of the query; sampling locations are
+clip(reference + offset, 0, 1) scaled to pixel coordinates; bilinear
+interpolation over the 4 clipped corner indices; per-point softmax weights.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class DeformableParams(NamedTuple):
+    """Projection weights for one deformable attention module.
+
+    Shapes (D = model dim, H = heads, P = points):
+      sampling_offsets: kernel [D, H*P*2], bias [H*P*2]
+      attention_weights: kernel [D, H*P], bias [H*P]
+      value_proj: kernel [D, D], bias [D]
+      output_proj: kernel [D, D], bias [D]
+
+    Reference init (deformable_attention.py:38-51): offsets/weights zero,
+    projections Xavier with zero bias.
+    """
+
+    offsets_kernel: jnp.ndarray
+    offsets_bias: jnp.ndarray
+    weights_kernel: jnp.ndarray
+    weights_bias: jnp.ndarray
+    value_kernel: jnp.ndarray
+    value_bias: jnp.ndarray
+    output_kernel: jnp.ndarray
+    output_bias: jnp.ndarray
+
+
+def init_deformable_params(
+    rng: jax.Array, d_model: int, n_heads: int, n_points: int
+) -> DeformableParams:
+    k1, k2 = jax.random.split(rng)
+    xavier = lambda key: jax.random.uniform(
+        key, (d_model, d_model), jnp.float32,
+        -jnp.sqrt(6.0 / (2 * d_model)), jnp.sqrt(6.0 / (2 * d_model)),
+    )
+    return DeformableParams(
+        offsets_kernel=jnp.zeros((d_model, n_heads * n_points * 2)),
+        offsets_bias=jnp.zeros((n_heads * n_points * 2,)),
+        weights_kernel=jnp.zeros((d_model, n_heads * n_points)),
+        weights_bias=jnp.zeros((n_heads * n_points,)),
+        value_kernel=xavier(k1),
+        value_bias=jnp.zeros((d_model,)),
+        output_kernel=xavier(k2),
+        output_bias=jnp.zeros((d_model,)),
+    )
+
+
+def bilinear_gather(
+    values: jnp.ndarray,
+    loc_x: jnp.ndarray,
+    loc_y: jnp.ndarray,
+    spatial_shape: Tuple[int, int],
+) -> jnp.ndarray:
+    """Bilinear sampling of per-head value maps at fractional pixel coords.
+
+    Args:
+      values: [B, HW, H, Dh] flattened per-head feature map.
+      loc_x, loc_y: [B, Q, H, P] pixel coordinates (already scaled).
+      spatial_shape: static (h, w) with h*w == HW.
+
+    Returns:
+      [B, Q, H, P, Dh] sampled features.
+    """
+    h, w = spatial_shape
+    b, q, nh, p = loc_x.shape
+    dh = values.shape[-1]
+
+    x0 = jnp.floor(loc_x).astype(jnp.int32)
+    y0 = jnp.floor(loc_y).astype(jnp.int32)
+    x1 = x0 + 1
+    y1 = y0 + 1
+
+    x0c = jnp.clip(x0, 0, w - 1)
+    x1c = jnp.clip(x1, 0, w - 1)
+    y0c = jnp.clip(y0, 0, h - 1)
+    y1c = jnp.clip(y1, 0, h - 1)
+
+    # Interpolation weights use the *unclipped* floor (reference:
+    # deformable_attention.py:126-129).
+    wx1 = loc_x - x0.astype(loc_x.dtype)
+    wx0 = 1.0 - wx1
+    wy1 = loc_y - y0.astype(loc_y.dtype)
+    wy0 = 1.0 - wy1
+
+    # [B, HW, H, Dh] -> [B, H, HW, Dh] so the gather axis is adjacent to the
+    # per-head batch axes.
+    values_t = jnp.transpose(values, (0, 2, 1, 3))
+
+    def corner(yc, xc):
+        idx = yc * w + xc  # [B, Q, H, P]
+        idx_t = jnp.transpose(idx, (0, 2, 1, 3)).reshape(b, nh, q * p)
+        g = jnp.take_along_axis(values_t, idx_t[..., None], axis=2)
+        return jnp.transpose(g.reshape(b, nh, q, p, dh), (0, 2, 1, 3, 4))
+
+    v00 = corner(y0c, x0c)
+    v01 = corner(y1c, x0c)
+    v10 = corner(y0c, x1c)
+    v11 = corner(y1c, x1c)
+
+    w00 = (wx0 * wy0)[..., None]
+    w01 = (wx0 * wy1)[..., None]
+    w10 = (wx1 * wy0)[..., None]
+    w11 = (wx1 * wy1)[..., None]
+
+    return v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
+
+
+def deformable_attention(
+    query: jnp.ndarray,
+    reference_points: jnp.ndarray,
+    memory: jnp.ndarray,
+    spatial_shape: Tuple[int, int],
+    params: DeformableParams,
+    n_heads: int,
+    n_points: int,
+) -> jnp.ndarray:
+    """Deformable cross-attention (reference: deformable_attention.py:53-183).
+
+    Args:
+      query: [B, Q, D]
+      reference_points: [B, Q, 2] normalized (x, y) in [0, 1].
+      memory: [B, HW, D] flattened feature map.
+      spatial_shape: static (h, w).
+      params: projection weights.
+
+    Returns:
+      [B, Q, D]
+    """
+    h, w = spatial_shape
+    b, q, d = query.shape
+    dh = d // n_heads
+
+    offsets = (query @ params.offsets_kernel + params.offsets_bias).reshape(
+        b, q, n_heads, n_points, 2
+    )
+    weights = (query @ params.weights_kernel + params.weights_bias).reshape(
+        b, q, n_heads, n_points
+    )
+    weights = jax.nn.softmax(weights, axis=-1)
+
+    values = (memory @ params.value_kernel + params.value_bias).reshape(
+        b, -1, n_heads, dh
+    )
+
+    # clip(ref + offset, 0, 1) then scale to pixels (reference: :105-111).
+    loc = jnp.clip(reference_points[:, :, None, None, :] + offsets, 0.0, 1.0)
+    loc_x = loc[..., 0] * (w - 1)
+    loc_y = loc[..., 1] * (h - 1)
+
+    sampled = bilinear_gather(values, loc_x, loc_y, (h, w))  # [B,Q,H,P,Dh]
+    out = jnp.sum(sampled * weights[..., None], axis=3)  # [B,Q,H,Dh]
+    out = out.reshape(b, q, d)
+    return out @ params.output_kernel + params.output_bias
+
+
+def factor_spatial_shape(hw: int) -> Tuple[int, int]:
+    """Factor a flattened sequence length into a (h, w) grid, statically.
+
+    Mirrors the reference's runtime factoring (deformable_attention.py:
+    243-256): perfect square if possible, else the closest factor pair
+    (h <= w). With the CLS token dropped this is always the exact patch
+    grid; kept only for parity mode where seq_len may be prime (e.g. 257 ->
+    (1, 257)).
+    """
+    root = int(hw**0.5)
+    if root * root == hw:
+        return (root, root)
+    for i in range(root, 0, -1):
+        if hw % i == 0:
+            return (i, hw // i)
+    return (root, root)

@@ -1,15 +1,25 @@
-"""Test environment: run everything on CPU with 8 virtual devices so the
-multi-chip sharding paths are exercised without TPU hardware."""
+"""Test environment: force an 8-virtual-device CPU JAX backend.
+
+This image bakes an `axon` TPU plugin into every Python process via a
+sitecustomize on PYTHONPATH, which force-selects the (remote, single-chip)
+TPU backend regardless of the JAX_PLATFORMS env var. Tests must run on CPU
+with 8 virtual devices so multi-chip sharding paths are exercised
+deterministically — jax.config.update overrides the forced selection as
+long as it happens before the first backend use, and XLA_FLAGS is read at
+backend init.
+"""
 
 import os
 
-# Must be set before jax is imported by any test module.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
@@ -18,3 +28,7 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_report_header(config):
+    return f"jax backend: {jax.default_backend()}, devices: {len(jax.devices())}"

@@ -1,0 +1,176 @@
+"""Model stack tests: shapes, determinism, trainability policy, variants."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dinov2_od_tpu.config import (
+    BackboneConfig,
+    DecoderConfig,
+    DetectorConfig,
+    lightweight_detector_config,
+)
+from dinov2_od_tpu.models.detector import (
+    count_params,
+    count_trainable_params,
+    detector_apply,
+    init_detector_params,
+    lora_block_multiplier,
+    trainable_mask,
+)
+from dinov2_od_tpu.models.vit import (
+    backbone_apply,
+    init_backbone_params,
+    interpolate_pos_embed,
+)
+
+
+def _tiny_backbone(**kw):
+    defaults = dict(variant="small", image_size=56, patch_size=14, lora_r=1)
+    defaults.update(kw)
+    return BackboneConfig(**defaults)
+
+
+def _tiny_detector(use_deformable=True, **deckw):
+    bb = _tiny_backbone(target_dim=32)
+    dec = DecoderConfig(
+        hidden_dim=32, num_queries=5, num_layers=2, num_heads=4,
+        dim_feedforward=64, num_classes=7, use_deformable=use_deformable,
+        n_points=2, **deckw,
+    )
+    return DetectorConfig(backbone=bb, decoder=dec)
+
+
+def test_backbone_output_shape():
+    cfg = _tiny_backbone()
+    params = init_backbone_params(jax.random.key(0), cfg)
+    x = jnp.zeros((2, 56, 56, 3))
+    out = backbone_apply(params, cfg, x, attn_impl="xla")
+    # 56/14 = 4x4 = 16 patches, CLS dropped by default.
+    assert out.shape == (2, 16, 384)
+
+
+def test_backbone_keep_cls_parity_mode():
+    cfg = _tiny_backbone(drop_cls_token=False)
+    params = init_backbone_params(jax.random.key(0), cfg)
+    out = backbone_apply(params, cfg, jnp.zeros((1, 56, 56, 3)), attn_impl="xla")
+    assert out.shape == (1, 17, 384)
+
+
+def test_backbone_projection():
+    cfg = _tiny_backbone(target_dim=128)
+    params = init_backbone_params(jax.random.key(0), cfg)
+    assert "projection" in params
+    out = backbone_apply(params, cfg, jnp.zeros((1, 56, 56, 3)), attn_impl="xla")
+    assert out.shape == (1, 16, 128)
+
+
+@pytest.mark.parametrize("use_deformable", [True, False])
+def test_detector_forward(use_deformable):
+    cfg = _tiny_detector(use_deformable)
+    params = init_detector_params(jax.random.key(0), cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 56, 56, 3)), jnp.float32)
+    out = detector_apply(params, cfg, x)
+    assert out["pred_logits"].shape == (2, 5, 7)
+    assert out["pred_boxes"].shape == (2, 5, 4)
+    boxes = np.asarray(out["pred_boxes"])
+    assert (boxes >= 0).all() and (boxes <= 1).all()
+    assert np.isfinite(np.asarray(out["pred_logits"])).all()
+
+
+def test_detector_jit_and_grad():
+    cfg = _tiny_detector()
+    params = init_detector_params(jax.random.key(0), cfg)
+    x = jnp.ones((1, 56, 56, 3))
+
+    @jax.jit
+    def loss(p):
+        out = detector_apply(p, cfg, x)
+        return jnp.sum(out["pred_logits"] ** 2) + jnp.sum(out["pred_boxes"])
+
+    g = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in flat)
+    # Decoder grads must be nonzero.
+    dec_norm = sum(
+        float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g["decoder"])
+    )
+    assert dec_norm > 0
+
+
+def test_dropout_only_in_training_mode():
+    cfg = _tiny_detector()
+    params = init_detector_params(jax.random.key(0), cfg)
+    x = jnp.ones((1, 56, 56, 3))
+    a = detector_apply(params, cfg, x, deterministic=True)
+    b = detector_apply(params, cfg, x, deterministic=True)
+    np.testing.assert_array_equal(
+        np.asarray(a["pred_logits"]), np.asarray(b["pred_logits"])
+    )
+    c = detector_apply(
+        params, cfg, x, deterministic=False, rng=jax.random.key(1)
+    )
+    assert np.abs(
+        np.asarray(c["pred_logits"]) - np.asarray(a["pred_logits"])
+    ).sum() > 0
+
+
+def test_trainable_mask_policy():
+    cfg = _tiny_detector()
+    params = init_detector_params(jax.random.key(0), cfg)
+    mask = trainable_mask(params, cfg)
+    # All decoder leaves trainable.
+    assert all(jax.tree_util.tree_leaves(mask["decoder"]))
+    # Backbone base weights frozen, LoRA + projection trainable.
+    assert mask["backbone"]["projection"]["kernel"]
+    assert mask["backbone"]["blocks"]["q"]["lora_A"]
+    assert not mask["backbone"]["blocks"]["q"]["kernel"]
+    assert not mask["backbone"]["patch_embed"]["kernel"]
+    assert not mask["backbone"]["cls_token"]
+
+
+def test_lora_block_multiplier_last_n_only():
+    cfg = _tiny_detector()
+    params = init_detector_params(jax.random.key(0), cfg)
+    mult = lora_block_multiplier(params, cfg)
+    m = np.asarray(mult["backbone"]["blocks"]["q"]["lora_A"]).reshape(-1)
+    depth = cfg.backbone.depth
+    n = cfg.backbone.lora_last_n_blocks
+    np.testing.assert_array_equal(m[: depth - n], 0.0)
+    np.testing.assert_array_equal(m[depth - n :], 1.0)
+
+
+def test_trainable_param_fraction_is_small():
+    cfg = lightweight_detector_config(num_classes=7)
+    # Shrink image so init is fast.
+    cfg = DetectorConfig(
+        backbone=BackboneConfig(
+            variant="small", image_size=56, lora_r=1, target_dim=256
+        ),
+        decoder=cfg.decoder,
+    )
+    params = init_detector_params(jax.random.key(0), cfg)
+    total = count_params(params)
+    trainable = count_trainable_params(params, cfg)
+    # Reference claims 80-90%+ reduction in trainable params (README.md:325).
+    assert trainable < 0.35 * total
+    assert trainable > 0
+
+
+def test_tied_layer_weights_parity_mode():
+    cfg = _tiny_detector(tie_layer_weights=True)
+    params = init_detector_params(jax.random.key(0), cfg)
+    layers = params["decoder"]["layers"]
+    w = np.asarray(layers["fc1"]["kernel"])
+    for i in range(1, w.shape[0]):
+        np.testing.assert_array_equal(w[0], w[i])
+
+
+def test_interpolate_pos_embed():
+    pe = jnp.asarray(np.random.default_rng(0).normal(size=(1, 1 + 16, 8)), jnp.float32)
+    out = interpolate_pos_embed(pe, 4, 7)
+    assert out.shape == (1, 1 + 49, 8)
+    np.testing.assert_array_equal(np.asarray(out[:, 0]), np.asarray(pe[:, 0]))
+    same = interpolate_pos_embed(pe, 4, 4)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(pe))

@@ -1,0 +1,116 @@
+"""Jitted train / eval steps under the device mesh.
+
+The full training step — forward, Hungarian matching, set loss, backward,
+clip, Adam — is one compiled XLA program (reference equivalent:
+train.py:1067-1110, which crosses host boundaries twice per step for the
+scipy matcher and per-batch `.item()` logging). Data parallelism comes from
+the batch arrays being sharded over the mesh's 'data' axis: the loss sums
+are global, so XLA inserts the gradient all-reduce exactly where DDP would
+(train.py:677) and the num_boxes all-reduce of losses.py:228-230 falls out
+of `jnp.sum` over the global batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import LossConfig, MatcherConfig, TrainConfig
+from ..models.detector import detector_apply
+from ..ops.losses import set_criterion
+from .state import TrainState, mask_gradients, stop_gradient_frozen
+
+Batch = Dict[str, jnp.ndarray]
+# Expected batch keys:
+#   images: [B, H, W, 3] float32
+#   labels: [B, G] int32
+#   boxes:  [B, G, 4] float32 cxcywh in [0, 1]
+#   valid:  [B, G] bool
+
+
+def make_train_step(cfg: TrainConfig, tx: optax.GradientTransformation):
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+    det_cfg = cfg.detector
+    num_classes = det_cfg.decoder.num_classes
+
+    def train_step(
+        state: TrainState, batch: Batch, rng: jax.Array
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            params = stop_gradient_frozen(params, det_cfg)
+            out = detector_apply(
+                params,
+                det_cfg,
+                batch["images"],
+                rng=step_rng,
+                deterministic=False,
+            )
+            losses = set_criterion(
+                out["pred_logits"],
+                out["pred_boxes"],
+                batch["labels"],
+                batch["boxes"],
+                batch["valid"],
+                matcher_cfg=cfg.matcher,
+                loss_cfg=cfg.loss,
+                num_classes=num_classes,
+            )
+            return losses["loss"], losses
+
+        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        grads = mask_gradients(grads, state.params, det_cfg)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        metrics = {k: v for k, v in losses.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state
+        )
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(cfg: TrainConfig):
+    """Build the jitted eval step: params, images -> raw predictions.
+
+    Device-side forward only; post-processing (sigmoid/threshold/rescale)
+    lives in evaluation.postprocess so it can also run fused here later.
+    """
+    det_cfg = cfg.detector
+
+    @jax.jit
+    def eval_step(params, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        return detector_apply(params, det_cfg, images, deterministic=True)
+
+    return eval_step
+
+
+def make_loss_eval_step(cfg: TrainConfig):
+    """Loss on a batch without updating (validation loss curves)."""
+    det_cfg = cfg.detector
+
+    @jax.jit
+    def loss_eval_step(params, batch: Batch) -> Dict[str, jnp.ndarray]:
+        out = detector_apply(params, det_cfg, batch["images"], deterministic=True)
+        return set_criterion(
+            out["pred_logits"],
+            out["pred_boxes"],
+            batch["labels"],
+            batch["boxes"],
+            batch["valid"],
+            matcher_cfg=cfg.matcher,
+            loss_cfg=cfg.loss,
+            num_classes=det_cfg.decoder.num_classes,
+        )
+
+    return loss_eval_step

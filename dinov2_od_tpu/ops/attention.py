@@ -56,6 +56,8 @@ def multi_head_attention(
 def _pallas_eligible(q, k) -> bool:
     if jax.default_backend() != "tpu":
         return False
-    # The fused kernel needs a head dim that tiles onto the MXU lanes and
-    # enough keys to amortize the pipeline.
-    return q.shape[-1] % 64 == 0 and k.shape[1] >= 128
+    # Measured on v5e (see bench.py): below ~512 keys XLA's fused batched
+    # GEMM wins (the Pallas grid is launch-bound at ViT@224's 257 tokens);
+    # above it the [S, S] logits stop fitting in on-chip working sets and
+    # the flash kernel wins (1.8x at 1370 tokens / ViT-L@518).
+    return q.shape[-1] % 64 == 0 and k.shape[1] >= 512

@@ -1,0 +1,291 @@
+"""Fused multi-head attention Pallas kernel for TPU, with custom VJP.
+
+Replaces the cuDNN attention inside the reference's HF DINOv2 backbone
+(dino_detector/models/dinov2_backbone.py:60) with a TPU-native kernel:
+
+- Forward: per (batch, head, q-block) grid step, the whole K/V for that
+  head is staged in VMEM (ViT sequences are <= ~1370 tokens at 518px, so
+  K+V fit comfortably) and softmax(QK^T)V is computed with fp32
+  accumulation on the MXU. Attention probabilities never touch HBM —
+  the same memory property as streaming flash attention, without the
+  online-softmax bookkeeping that longer sequences would need.
+- Backward: two kernels (dq over q-blocks, dk/dv over k-blocks) using the
+  saved logsumexp, recomputing probabilities on the fly.
+- Ragged sequence lengths are handled by padding to the lane multiple and
+  statically masking padded keys.
+
+All matmuls specify preferred_element_type=float32 so bf16 inputs still
+accumulate in fp32 (pallas_guide.md: MXU precision rules).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # TPU-only module; import lazily so CPU tests can still interpret.
+    from jax.experimental.pallas import tpu as pltpu
+
+    _VMEM = pltpu.VMEM
+except Exception:  # pragma: no cover
+    pltpu = None
+    _VMEM = None
+
+_NEG_INF = -1e30
+_LANE = 128
+_SUBLANE = 16  # covers fp32 (8) and bf16 (16) sublane tiling
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# VMEM budget for the fp32 logits tile; the rest of the working set (q/k/v
+# blocks, output) stays well under the remaining ~8MB.
+_LOGITS_VMEM_BUDGET = 8 * 2**20
+
+
+def _auto_block(s: int, other_pad: int) -> int:
+    """Largest block over `s` whose [block, other_pad] fp32 logits fit the
+    VMEM budget — single-block when possible (grid-launch overhead dominates
+    at ViT sequence lengths; measured on v5e: whole-seq blocks are ~25%%
+    faster than 256-blocks at 1370 tokens)."""
+    cap = _LOGITS_VMEM_BUDGET // (4 * other_pad)
+    cap = max(_SUBLANE, (cap // _SUBLANE) * _SUBLANE)
+    return min(_round_up(s, _SUBLANE), cap)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
+    q = q_ref[0, 0]  # [bq, dh]
+    k = k_ref[0, 0]  # [S, dh]
+    v = v_ref[0, 0]  # [S, dh]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bq, S]
+
+    s_pad = k.shape[0]
+    if kv_len < s_pad:
+        key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_ids < kv_len, s, _NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / l
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+    lse_ref[0, 0] = m + jnp.log(l)  # [bq, 1]
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
+               scale, kv_len):
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0]      # [bq, 1]
+    delta = delta_ref[0, 0]  # [bq, 1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s_pad = k.shape[0]
+    if kv_len < s_pad:
+        key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_ids < kv_len, s, _NEG_INF)
+    p = jnp.exp(s - lse)  # [bq, S]
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta) * scale
+    dq = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, *, scale, q_len):
+    q = q_ref[0, 0]      # [S_q, dh] (whole padded q)
+    k = k_ref[0, 0]      # [bk, dh]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]    # [S_q, dh]
+    lse = lse_ref[0, 0]      # [S_q, 1]
+    delta = delta_ref[0, 0]  # [S_q, 1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [S_q, bk]
+    s_pad = q.shape[0]
+    if q_len < s_pad:
+        # Padded q rows carry lse=0 -> p=exp(s) could overflow; mask them.
+        q_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(q_ids < q_len, s, _NEG_INF)
+    p = jnp.exp(s - lse)  # [S_q, bk]
+
+    dv = jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bk, dh]
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [S_q, bk]
+    ds = p * (dp - delta) * scale
+    dk = jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bk, dh]
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _pad_seq(x, s_pad):
+    s = x.shape[2]
+    if s == s_pad:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_bhsd(q, k, v, scale, block_q, interpret):
+    out, _ = _flash_fwd(q, k, v, scale, block_q, interpret)
+    return out
+
+
+def _flash_fwd(q, k, v, scale, block_q, interpret):
+    b, h, sq, dh = q.shape
+    sk = k.shape[2]
+    sk_pad = _round_up(sk, _SUBLANE)
+    if block_q is None:
+        block_q = _auto_block(sq, sk_pad)
+    elif sq <= block_q:
+        # Single q block: pad only to the sublane multiple (e.g. 257 -> 272
+        # instead of 512), which matters at ViT @224 where s is small.
+        block_q = _round_up(sq, _SUBLANE)
+    sq_pad = _round_up(sq, block_q)
+    qp, kp, vp = _pad_seq(q, sq_pad), _pad_seq(k, sk_pad), _pad_seq(v, sk_pad)
+
+    grid = (b, h, sq_pad // block_q)
+    kv_spec = pl.BlockSpec(
+        (1, 1, sk_pad, dh), lambda bi, hi, qi: (bi, hi, 0, 0)
+    )
+    q_spec = pl.BlockSpec(
+        (1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0)
+    )
+    # lse kept 4D [B, H, S, 1] so its blocks satisfy TPU tiling rules.
+    lse_spec = pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0))
+
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, kv_len=sk),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=[q_spec, lse_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq_pad, dh), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq_pad, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :, :sq], (q, k, v, out[:, :, :sq], lse)
+
+
+def _flash_fwd_vjp(q, k, v, scale, block_q, interpret):
+    out, res = _flash_fwd(q, k, v, scale, block_q, interpret)
+    return out, res
+
+
+def _flash_bwd(scale, block_q, interpret, res, g):
+    q, k, v, out, lse = res
+    b, h, sq, dh = q.shape
+    sk = k.shape[2]
+    sk_pad0 = _round_up(sk, _SUBLANE)
+    if block_q is None:
+        block_q = _auto_block(sq, sk_pad0)
+    elif sq <= block_q:
+        block_q = _round_up(sq, _SUBLANE)
+    sq_pad = _round_up(sq, block_q)
+    # dk/dv iterate over k blocks sized like the forward's q blocks.
+    block_k = _auto_block(sk, sq_pad)
+    sk_pad = _round_up(sk, block_k)
+
+    # delta = rowsum(dO * O), in fp32 (cheap; computed outside the kernel).
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
+    )  # [b, h, sq, 1]
+
+    qp, kp, vp = _pad_seq(q, sq_pad), _pad_seq(k, sk_pad), _pad_seq(v, sk_pad)
+    dop = _pad_seq(g, sq_pad)
+    lsep = lse  # saved at padded length by the forward
+    deltap = _pad_seq(delta, sq_pad)
+
+    q_spec = pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, i: (bi, hi, i, 0))
+    qfull_spec = pl.BlockSpec((1, 1, sq_pad, dh), lambda bi, hi, i: (bi, hi, 0, 0))
+    kv_spec = pl.BlockSpec((1, 1, sk_pad, dh), lambda bi, hi, i: (bi, hi, 0, 0))
+    kvblk_spec = pl.BlockSpec((1, 1, block_k, dh), lambda bi, hi, i: (bi, hi, i, 0))
+    lse_spec = pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, i: (bi, hi, i, 0))
+    lsefull_spec = pl.BlockSpec((1, 1, sq_pad, 1), lambda bi, hi, i: (bi, hi, 0, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, kv_len=sk),
+        grid=(b, h, sq_pad // block_q),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, lse_spec, lse_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, dh), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, deltap)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, q_len=sq),
+        grid=(b, h, sk_pad // block_k),
+        in_specs=[
+            qfull_spec, kvblk_spec, kvblk_spec, qfull_spec,
+            lsefull_spec, lsefull_spec,
+        ],
+        out_specs=[kvblk_spec, kvblk_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sk_pad, dh), k.dtype),
+            jax.ShapeDtypeStruct((b, h, sk_pad, dh), v.dtype),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, deltap)
+
+    return dq[:, :, :sq], dk[:, :, :sk], dv[:, :, :sk]
+
+
+_flash_bhsd.defvjp(_flash_fwd_vjp, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float,
+    block_q: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused attention.
+
+    Args:
+      q: [B, Sq, H, Dh]; k, v: [B, Sk, H, Dh] (model layout — transposed to
+        [B, H, S, Dh] for the kernel; XLA fuses the transposes into
+        neighboring ops).
+      scale: softmax scale (1/sqrt(Dh)).
+      interpret: run in Pallas interpreter mode (CPU tests).
+
+    Returns:
+      [B, Sq, H, Dh]
+    """
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    out = _flash_bhsd(qt, kt, vt, scale, block_q, interpret)
+    return jnp.transpose(out, (0, 2, 1, 3))

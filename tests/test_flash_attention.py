@@ -1,0 +1,92 @@
+"""Flash-attention kernel vs the XLA reference path, forward and backward,
+in Pallas interpreter mode (CPU). Real-TPU execution is exercised by
+bench.py / __graft_entry__.py on hardware."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dinov2_od_tpu.ops.attention import _xla_attention
+from dinov2_od_tpu.ops.flash_attention import flash_attention
+
+
+def _rand_qkv(rng, b, s, h, d, sk=None):
+    sk = sk or s
+    q = rng.normal(size=(b, s, h, d)).astype(np.float32)
+    k = rng.normal(size=(b, sk, h, d)).astype(np.float32)
+    v = rng.normal(size=(b, sk, h, d)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+@pytest.mark.parametrize(
+    "b,s,h,d",
+    [
+        (1, 128, 2, 64),   # aligned
+        (2, 257, 3, 64),   # ViT-S/B @224: CLS + 256, ragged
+        (1, 130, 2, 64),   # small ragged
+    ],
+)
+def test_forward_matches_xla(rng, b, s, h, d):
+    q, k, v = _rand_qkv(rng, b, s, h, d)
+    scale = 1.0 / np.sqrt(d)
+    ours = np.asarray(
+        flash_attention(q, k, v, scale=scale, block_q=128, interpret=True)
+    )
+    ref = np.asarray(_xla_attention(q, k, v, scale))
+    np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_cross_attention_shapes(rng):
+    # Sq != Sk (decoder-style cross attention).
+    q, k, v = _rand_qkv(rng, 1, 50, 4, 64, sk=256)
+    scale = 0.125
+    ours = np.asarray(
+        flash_attention(q, k, v, scale=scale, block_q=128, interpret=True)
+    )
+    ref = np.asarray(_xla_attention(q, k, v, scale))
+    assert ours.shape == (1, 50, 4, 64)
+    np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_backward_matches_xla(rng):
+    b, s, h, d = 1, 257, 2, 64
+    q, k, v = _rand_qkv(rng, b, s, h, d)
+    scale = 1.0 / np.sqrt(d)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, scale=scale, block_q=128, interpret=True)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_xla(q, k, v):
+        o = _xla_attention(q, k, v, scale)
+        return jnp.sum(o * jnp.cos(o))
+
+    g_ours = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g_ours, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-5,
+        ), name
+
+
+def test_bf16_inputs_fp32_accumulation(rng):
+    b, s, h, d = 1, 256, 2, 64
+    q, k, v = _rand_qkv(rng, b, s, h, d)
+    scale = 1.0 / np.sqrt(d)
+    ours = np.asarray(
+        flash_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), scale=scale, interpret=True,
+        ).astype(jnp.float32)
+    )
+    ref = np.asarray(_xla_attention(q, k, v, scale))
+    # bf16 inputs: ~2-3 decimal digits.
+    np.testing.assert_allclose(ours, ref, rtol=3e-2, atol=3e-2)
+
+
+def test_extreme_logits_stable(rng):
+    b, s, h, d = 1, 128, 1, 64
+    q, k, v = _rand_qkv(rng, b, s, h, d)
+    out = flash_attention(q * 100, k * 100, v, scale=1.0, interpret=True)
+    assert np.isfinite(np.asarray(out)).all()

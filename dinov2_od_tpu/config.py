@@ -59,26 +59,33 @@ class BackboneConfig:
     layerscale_init: float = 1.0
     drop_cls_token: bool = True  # fix of reference quirk (SURVEY.md §7.5)
     dtype: str = "float32"  # compute dtype for activations
+    # Explicit architecture overrides (None = use the variant table). Used
+    # for custom/tiny architectures, e.g. importer parity tests.
+    hidden_dim_override: Optional[int] = None
+    depth_override: Optional[int] = None
+    num_heads_override: Optional[int] = None
+    mlp_ratio_override: Optional[float] = None
+    ffn_type_override: Optional[str] = None
 
     @property
     def hidden_dim(self) -> int:
-        return _VIT_VARIANTS[self.variant][0]
+        return self.hidden_dim_override or _VIT_VARIANTS[self.variant][0]
 
     @property
     def depth(self) -> int:
-        return _VIT_VARIANTS[self.variant][1]
+        return self.depth_override or _VIT_VARIANTS[self.variant][1]
 
     @property
     def num_heads(self) -> int:
-        return _VIT_VARIANTS[self.variant][2]
+        return self.num_heads_override or _VIT_VARIANTS[self.variant][2]
 
     @property
     def mlp_ratio(self) -> float:
-        return _VIT_VARIANTS[self.variant][3]
+        return self.mlp_ratio_override or _VIT_VARIANTS[self.variant][3]
 
     @property
     def ffn_type(self) -> str:
-        return _VIT_VARIANTS[self.variant][4]
+        return self.ffn_type_override or _VIT_VARIANTS[self.variant][4]
 
     @property
     def mlp_dim(self) -> int:

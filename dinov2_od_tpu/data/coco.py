@@ -1,0 +1,191 @@
+"""COCO dataset parsing with static-shape padded targets.
+
+Semantics mirror the reference datasets (dino_detector/dataset.py):
+
+- Raw COCO JSON parsed directly (no pycocotools), image_id -> annotation
+  index (dataset.py:24-31).
+- category_id remapped to a contiguous 0-based label by enumeration order
+  of the JSON `categories` list (dataset.py:35, :96-99).
+- Boxes converted to normalized cxcywh; crowd, degenerate (w/h <= 0), tiny
+  (< 0.001) and out-of-range-center boxes dropped (dataset.py:75-91).
+- Annotation-free test variant lists image files and derives ids from
+  filename stems (dataset.py:145-150).
+
+Divergence (required for jit): per-image targets are padded to `max_boxes`
+with a validity mask instead of ragged lists (the reference's collate keeps
+lists of dicts, dataset.py:194-219).
+
+By default images are ImageNet-normalized — the reference omits
+normalization entirely (train.py:584-587; SURVEY.md §7.4); pass
+normalize=False for parity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _load_image(path: str, image_size: int) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB").resize(
+            (image_size, image_size), Image.Resampling.BILINEAR
+        )
+        return np.asarray(im, np.float32) / 255.0
+
+
+class CocoDetectionDataset:
+    """COCO images + annotations -> padded training examples."""
+
+    def __init__(
+        self,
+        images_dir: str,
+        annotation_file: str,
+        image_size: int = 224,
+        max_boxes: int = 100,
+        normalize: bool = True,
+        indices: Optional[List[int]] = None,
+    ):
+        self.images_dir = images_dir
+        self.coco_path = annotation_file
+        self.image_size = image_size
+        self.max_boxes = max_boxes
+        self.normalize = normalize
+
+        with open(annotation_file) as f:
+            coco = json.load(f)
+        self.images = {img["id"]: img for img in coco["images"]}
+        self.annotations: Dict[int, list] = {}
+        for ann in coco["annotations"]:
+            self.annotations.setdefault(ann["image_id"], []).append(ann)
+        self.image_ids = list(self.images.keys())
+        if indices is not None:
+            self.image_ids = [self.image_ids[i] for i in indices]
+        # Contiguous remap in JSON enumeration order (dataset.py:35).
+        self.cat_id_to_label = {
+            cat["id"]: idx for idx, cat in enumerate(coco["categories"])
+        }
+        self.label_to_cat_id = {
+            v: k for k, v in self.cat_id_to_label.items()
+        }
+        self.num_classes = len(self.cat_id_to_label)
+
+    def __len__(self) -> int:
+        return len(self.image_ids)
+
+    def get_example(self, idx: int) -> Dict[str, np.ndarray]:
+        img_id = self.image_ids[idx]
+        info = self.images[img_id]
+        image = _load_image(
+            os.path.join(self.images_dir, info["file_name"]), self.image_size
+        )
+        height = info.get("height") or image.shape[0]
+        width = info.get("width") or image.shape[1]
+
+        boxes, labels = [], []
+        for ann in self.annotations.get(img_id, []):
+            if "bbox" not in ann or ann.get("iscrowd", 0) != 0:
+                continue
+            x, y, w, h = ann["bbox"]
+            if w <= 0 or h <= 0:
+                continue
+            cx = (x + w / 2) / width
+            cy = (y + h / 2) / height
+            nw, nh = w / width, h / height
+            if nw < 0.001 or nh < 0.001 or not (0 < cx < 1 and 0 < cy < 1):
+                continue
+            boxes.append([cx, cy, nw, nh])
+            labels.append(self.cat_id_to_label.get(ann["category_id"], 0))
+
+        n = min(len(boxes), self.max_boxes)
+        out_boxes = np.zeros((self.max_boxes, 4), np.float32)
+        out_labels = np.zeros((self.max_boxes,), np.int32)
+        out_valid = np.zeros((self.max_boxes,), bool)
+        if n:
+            out_boxes[:n] = np.asarray(boxes[:n], np.float32)
+            out_labels[:n] = np.asarray(labels[:n], np.int32)
+            out_valid[:n] = True
+
+        if self.normalize:
+            image = (image - IMAGENET_MEAN) / IMAGENET_STD
+
+        return {
+            "images": image,
+            "boxes": out_boxes,
+            "labels": out_labels,
+            "valid": out_valid,
+            "image_id": np.int64(img_id),
+            "orig_size": np.asarray([height, width], np.int32),
+        }
+
+
+class CocoTestDataset:
+    """Annotation-free evaluation dataset (reference: dataset.py:116-193)."""
+
+    def __init__(
+        self,
+        images_dir: str,
+        annotation_file: Optional[str] = None,
+        image_size: int = 224,
+        normalize: bool = True,
+        indices: Optional[List[int]] = None,
+    ):
+        self.images_dir = images_dir
+        self.image_size = image_size
+        self.normalize = normalize
+        self.coco_path = (
+            annotation_file
+            if annotation_file and os.path.exists(annotation_file)
+            else None
+        )
+        if self.coco_path:
+            with open(self.coco_path) as f:
+                coco = json.load(f)
+            self.images = {img["id"]: img for img in coco["images"]}
+            self.image_ids = list(self.images.keys())
+            self.cat_id_to_label = {
+                c["id"]: i for i, c in enumerate(coco.get("categories", []))
+            }
+        else:
+            files = sorted(
+                f
+                for f in os.listdir(images_dir)
+                if f.lower().endswith((".png", ".jpg", ".jpeg"))
+            )
+            self.image_ids = [int(os.path.splitext(f)[0]) for f in files]
+            self.images = {
+                i: {"file_name": f, "id": i}
+                for i, f in zip(self.image_ids, files)
+            }
+            self.cat_id_to_label = {}
+        if indices is not None:
+            self.image_ids = [self.image_ids[i] for i in indices]
+        self.label_to_cat_id = {v: k for k, v in self.cat_id_to_label.items()}
+
+    def __len__(self) -> int:
+        return len(self.image_ids)
+
+    def get_example(self, idx: int) -> Dict[str, np.ndarray]:
+        img_id = self.image_ids[idx]
+        info = self.images[img_id]
+        from PIL import Image
+
+        path = os.path.join(self.images_dir, info["file_name"])
+        with Image.open(path) as im:
+            width, height = im.size
+        image = _load_image(path, self.image_size)
+        if self.normalize:
+            image = (image - IMAGENET_MEAN) / IMAGENET_STD
+        return {
+            "images": image,
+            "image_id": np.int64(img_id),
+            "orig_size": np.asarray([height, width], np.int32),
+        }

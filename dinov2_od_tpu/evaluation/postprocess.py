@@ -1,0 +1,116 @@
+"""Device-side detection post-processing.
+
+The reference post-processes on the host with a Python triple loop over
+(image, class, detection) and per-batch `.cpu().numpy()` copies
+(dino_detector/utils.py:195-233). Here the heavy part — sigmoid, box
+conversion, rescaling, top-k selection over all (query, class) pairs —
+runs jitted on device; the host only formats the already-small top-k
+result into COCO dicts.
+
+Two behavioral fixes over the reference, controlled by parity_mode
+(SURVEY.md §7.3):
+- boxes are rescaled to original image pixels (the reference emits
+  normalized [0,1] boxes, systematically depressing AP);
+- class 0 is NOT skipped (the reference treats contiguous index 0 —
+  'person' — as background);
+- category ids are mapped back to real COCO category ids by the caller
+  via label_to_cat_id (the reference emits contiguous indices).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.boxes import box_cxcywh_to_xyxy
+
+
+@functools.partial(jax.jit, static_argnames=("max_detections", "parity_mode"))
+def select_topk_detections(
+    pred_logits: jnp.ndarray,
+    pred_boxes: jnp.ndarray,
+    orig_sizes: jnp.ndarray,
+    max_detections: int = 100,
+    parity_mode: bool = False,
+):
+    """Top-k detections over all (query, class) pairs, per image.
+
+    Args:
+      pred_logits: [B, Q, C]; pred_boxes: [B, Q, 4] cxcywh in [0,1].
+      orig_sizes: [B, 2] (height, width) original pixel sizes.
+
+    Returns:
+      scores [B, K], labels [B, K] (contiguous), boxes_xywh [B, K, 4]
+      (COCO xywh; original pixels unless parity_mode).
+    """
+    b, q, c = pred_logits.shape
+    scores_all = jax.nn.sigmoid(pred_logits.astype(jnp.float32))
+    if parity_mode:
+        # Reference skips contiguous class 0 as "background" (utils.py:210).
+        scores_all = scores_all.at[:, :, 0].set(-1.0)
+    flat = scores_all.reshape(b, q * c)
+    k = min(max_detections, q * c)
+    top_scores, top_idx = jax.lax.top_k(flat, k)
+    top_query = top_idx // c
+    top_label = top_idx % c
+
+    boxes_xyxy = box_cxcywh_to_xyxy(pred_boxes.astype(jnp.float32))
+    sel_boxes = jnp.take_along_axis(boxes_xyxy, top_query[..., None], axis=1)
+
+    if not parity_mode:
+        hw = orig_sizes.astype(jnp.float32)  # [B, 2] (h, w)
+        scale = jnp.stack([hw[:, 1], hw[:, 0], hw[:, 1], hw[:, 0]], axis=-1)
+        sel_boxes = sel_boxes * scale[:, None, :]
+
+    xywh = jnp.concatenate(
+        [sel_boxes[..., :2], sel_boxes[..., 2:] - sel_boxes[..., :2]], axis=-1
+    )
+    return top_scores, top_label, xywh
+
+
+def postprocess_detections(
+    pred_logits,
+    pred_boxes,
+    image_ids,
+    orig_sizes,
+    label_to_cat_id: Dict[int, int],
+    score_threshold: float = 0.05,
+    max_detections: int = 100,
+    parity_mode: bool = False,
+) -> List[dict]:
+    """Convert raw model outputs for a batch into COCO result dicts.
+
+    score_threshold matches the reference's 0.05 (utils.py:214).
+    """
+    scores, labels, boxes = select_topk_detections(
+        jnp.asarray(pred_logits),
+        jnp.asarray(pred_boxes),
+        jnp.asarray(orig_sizes),
+        max_detections=max_detections,
+        parity_mode=parity_mode,
+    )
+    scores = np.asarray(scores)
+    labels = np.asarray(labels)
+    boxes = np.asarray(boxes)
+
+    results = []
+    for i, img_id in enumerate(np.asarray(image_ids)):
+        keep = scores[i] > score_threshold
+        for s, l, bx in zip(scores[i][keep], labels[i][keep], boxes[i][keep]):
+            if parity_mode:
+                cat_id = int(l)  # reference emits contiguous index
+            else:
+                cat_id = int(label_to_cat_id.get(int(l), int(l)))
+            results.append(
+                {
+                    "image_id": int(img_id),
+                    "category_id": cat_id,
+                    "bbox": [float(v) for v in bx],
+                    "score": float(s),
+                }
+            )
+    return results

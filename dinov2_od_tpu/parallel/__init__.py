@@ -9,6 +9,7 @@ annotations, and XLA-inserted collectives over ICI.
 """
 
 from .sharding import (  # noqa: F401
+    auto_mesh,
     batch_sharding,
     create_mesh,
     param_shardings,

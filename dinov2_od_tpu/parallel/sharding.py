@@ -43,6 +43,29 @@ def create_mesh(
     return Mesh(grid, (cfg.data_axis, cfg.model_axis))
 
 
+def auto_mesh(
+    batch_size: int,
+    model_parallel_size: int = 1,
+    cfg: MeshConfig = MeshConfig(),
+) -> Mesh:
+    """Mesh whose data axis is the largest batch divisor that fits the
+    available devices (a 4-image debug batch on an 8-device host gets a
+    4-way data axis rather than a shape error)."""
+    avail = len(jax.devices()) // model_parallel_size
+    if avail < 1:
+        raise ValueError(
+            f"model_parallel_size={model_parallel_size} exceeds "
+            f"{len(jax.devices())} devices"
+        )
+    dp = 1
+    for d in range(min(avail, batch_size), 0, -1):
+        if batch_size % d == 0:
+            dp = d
+            break
+    devices = jax.devices()[: dp * model_parallel_size]
+    return create_mesh(model_parallel_size, devices=devices, cfg=cfg)
+
+
 # Column-parallel linears: output dim sharded over 'model'.
 _COL_PARALLEL = ("q", "k", "v", "fc1")
 # Row-parallel linears: input dim sharded over 'model'.

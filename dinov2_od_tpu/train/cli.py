@@ -1,0 +1,370 @@
+"""Training CLI — the `python -m dinov2_od_tpu.train` entry point.
+
+Mirrors the reference's `python -m dino_detector.train` flag surface
+(dino_detector/train.py:1354-1462: dataset paths, download toggles,
+debug/overfit mode, coco-mini subsets, test-mini, lightweight config,
+checkpointing, loss/matcher costs, logging) on top of the JAX SPMD
+runtime:
+
+- no process spawning: `--distributed`/`--world_size` are accepted for
+  compatibility but parallelism is a device mesh (all local devices by
+  default; `--model_parallel` adds tensor parallelism);
+- `--device` is accepted and ignored (JAX selects the backend);
+- new flags: --model_parallel, --parity_mode, --pretrained_backbone,
+  --image_size, --no_normalize.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from .. import config as C
+
+
+def str2bool(v) -> bool:
+    """Proper boolean flag parsing. The reference used `type=bool`, which
+    treats any non-empty string (including "False") as True
+    (train.py:1421; SURVEY.md §5 quirk)."""
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() in ("1", "true", "t", "yes", "y")
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train DINOv2 Object Detector (TPU)")
+
+    # Dataset paths (reference train.py:1357-1366)
+    p.add_argument("--train_images", type=str, default="")
+    p.add_argument("--train_annotations", type=str, default="")
+    p.add_argument("--val_images", type=str, default="")
+    p.add_argument("--val_annotations", type=str, default="")
+    p.add_argument("--testdev_images", type=str, default="")
+
+    # Dataset download (reference train.py:1369-1376)
+    p.add_argument("--data_dir", type=str, default="coco_data")
+    p.add_argument("--download_train_data", action="store_true")
+    p.add_argument("--download_val_data", action="store_true")
+    p.add_argument("--download_test_data", action="store_true")
+
+    # Training options (reference train.py:1379-1386)
+    p.add_argument("--output_dir", type=str, default="outputs")
+    p.add_argument("--checkpoint", type=str, default="")
+    p.add_argument("--val_frequency", type=int, default=5)
+    p.add_argument("--only_evaluate", action="store_true")
+    p.add_argument("--num_epochs", type=int, default=None)
+    p.add_argument("--learning_rate", type=float, default=None)
+
+    # Parallelism (reference had --distributed/--world_size/--dist_url;
+    # JAX SPMD needs no process spawning)
+    p.add_argument("--distributed", action="store_true",
+                   help="accepted for compatibility; mesh parallelism is automatic")
+    p.add_argument("--world_size", type=int, default=0,
+                   help="accepted for compatibility; ignored")
+    p.add_argument("--dist_url", type=str, default="env://",
+                   help="accepted for compatibility; ignored")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="tensor-parallel size (mesh 'model' axis)")
+
+    # Debug / overfit (reference train.py:1397-1406)
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--debug_samples", type=int, default=32)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--debug_lr", type=float, default=5e-4)
+
+    # coco-mini (reference train.py:1408-1419)
+    p.add_argument("--use_coco_mini", action="store_true")
+    p.add_argument("--coco_mini_size", type=str, default="1k")
+    p.add_argument("--coco_mini_seed", type=int, default=42)
+    p.add_argument("--coco_mini_indices_file", type=str, default="")
+    p.add_argument("--test_mini", action="store_true")
+    p.add_argument("--test_mini_size", type=int, default=30)
+
+    # Model architecture (reference train.py:1421-1431)
+    p.add_argument("--use_deformable", type=str2bool, default=True)
+    p.add_argument("--n_points", type=int, default=2)
+    p.add_argument("--dino_model", type=str, default="facebook/dinov2-base")
+    p.add_argument("--lightweight", action="store_true")
+    p.add_argument("--skip_checkpoint_load", action="store_true")
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--pretrained_backbone", type=str, default="",
+                   help="path to an HF PyTorch DINOv2 checkpoint dir/file to import")
+
+    # Loss / matcher (reference train.py:1434-1445)
+    p.add_argument("--set_cost_class", type=float, default=1.0)
+    p.add_argument("--set_cost_bbox", type=float, default=5.0)
+    p.add_argument("--set_cost_giou", type=float, default=2.0)
+    p.add_argument("--focal_alpha", type=float, default=0.25)
+    p.add_argument("--focal_gamma", type=float, default=2.0)
+    p.add_argument("--device", type=str, default="tpu",
+                   help="accepted for compatibility; JAX selects the backend")
+    p.add_argument("--num_classes", type=int, default=91)
+    p.add_argument("--memory_monitor", action="store_true")
+
+    # Parity / quirk toggles
+    p.add_argument("--parity_mode", action="store_true",
+                   help="reproduce reference eval quirks (no box rescale, "
+                        "contiguous category ids, class 0 skipped)")
+    p.add_argument("--no_normalize", action="store_true",
+                   help="skip ImageNet normalization (reference behavior)")
+
+    # Logging (reference train.py:1448-1461)
+    p.add_argument("--log_dir", type=str, default=None)
+    p.add_argument("--log_frequency", type=int, default=10)
+    p.add_argument("--experiment_name", type=str, default=None)
+    p.add_argument("--log_images", action="store_true")
+    p.add_argument("--log_images_frequency", type=int, default=100)
+    return p
+
+
+def build_detector_config(args) -> C.DetectorConfig:
+    if args.lightweight:
+        cfg = C.lightweight_detector_config(
+            num_classes=args.num_classes,
+            use_deformable=args.use_deformable,
+            n_points=args.n_points,
+            image_size=args.image_size,
+        )
+    else:
+        cfg = C.detector_config_for_model_name(
+            args.dino_model,
+            num_classes=args.num_classes,
+            use_deformable=args.use_deformable,
+            n_points=args.n_points,
+            image_size=args.image_size,
+        )
+    return cfg
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_arg_parser().parse_args(argv)
+
+    import jax  # deferred so --help stays fast
+
+    from ..data.coco import CocoDetectionDataset, CocoTestDataset
+    from ..models import init_detector_params
+    from ..parallel import auto_mesh, batch_sharding, shard_params
+    from ..utils.logging import setup_logger, setup_tensorboard
+    from . import checkpoint as ckpt
+    from .loop import (
+        create_coco_mini,
+        create_debug_subset,
+        evaluate_dataset,
+        run_training,
+        validate,
+    )
+    from .state import create_train_state, make_optimizer
+    from .step import make_eval_step
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    logger = setup_logger(args.log_dir or args.output_dir)
+    writer = setup_tensorboard(args.log_dir or args.output_dir, args.experiment_name)
+
+    if args.download_train_data or args.download_val_data or args.download_test_data:
+        from ..tools.download import download_coco_dataset
+
+        download_coco_dataset(
+            args.data_dir,
+            train=args.download_train_data,
+            val=args.download_val_data,
+            test=args.download_test_data,
+        )
+        if not args.train_images and args.download_train_data:
+            args.train_images = os.path.join(args.data_dir, "train2017")
+            args.train_annotations = os.path.join(
+                args.data_dir, "annotations", "instances_train2017.json"
+            )
+        if not args.val_images and args.download_val_data:
+            args.val_images = os.path.join(args.data_dir, "val2017")
+            args.val_annotations = os.path.join(
+                args.data_dir, "annotations", "instances_val2017.json"
+            )
+
+    det_cfg = build_detector_config(args)
+    matcher_cfg = C.MatcherConfig(
+        cost_class=args.set_cost_class, cost_bbox=args.set_cost_bbox,
+        cost_giou=args.set_cost_giou, focal_alpha=args.focal_alpha,
+        focal_gamma=args.focal_gamma,
+    )
+    loss_cfg = C.LossConfig(
+        focal_alpha=args.focal_alpha, focal_gamma=args.focal_gamma
+    )
+    # Debug mode: higher lr, more epochs (reference config.py:11-14,
+    # train.py:1028-1034).
+    num_epochs = args.num_epochs
+    learning_rate = args.learning_rate
+    if args.debug:
+        num_epochs = num_epochs or 100
+        learning_rate = learning_rate or args.debug_lr
+
+    cfg = C.TrainConfig(
+        detector=det_cfg,
+        data=C.DataConfig(
+            image_size=args.image_size,
+            batch_size=args.batch_size,
+            normalize=not (args.no_normalize or args.parity_mode),
+        ),
+        optim=C.OptimConfig(),
+        matcher=matcher_cfg,
+        loss=loss_cfg,
+        num_epochs=num_epochs or 50,
+        debug=args.debug,
+    )
+
+    logger.info("devices: %s", jax.devices())
+    logger.info("detector config: %s", det_cfg)
+
+    # Model init (+ optional pretrained backbone import).
+    params = init_detector_params(jax.random.key(cfg.seed), det_cfg)
+    if args.pretrained_backbone:
+        from ..models.import_torch import load_dinov2_backbone_params
+
+        params["backbone"] = load_dinov2_backbone_params(
+            args.pretrained_backbone, det_cfg.backbone, params["backbone"]
+        )
+        logger.info("imported pretrained backbone from %s", args.pretrained_backbone)
+    else:
+        logger.warning(
+            "no --pretrained_backbone given: backbone is randomly initialized "
+            "(this environment has no network access to fetch HF weights)"
+        )
+
+    # Checkpoint resume (reference train.py:686-747).
+    start_epoch, restored_opt, history = 0, None, None
+    if args.checkpoint and not args.skip_checkpoint_load:
+        tx = make_optimizer(cfg.optim, det_cfg, params, learning_rate)
+        opt_template = tx.init(params)
+        params, restored_opt, start_epoch, history = ckpt.restore_checkpoint(
+            args.checkpoint, params, opt_template
+        )
+        logger.info("resumed from %s at epoch %d", args.checkpoint, start_epoch)
+
+    normalize = not (args.no_normalize or args.parity_mode)
+
+    # ------------------------------------------------------------------
+    # only_evaluate (reference train.py:750-890)
+    # ------------------------------------------------------------------
+    if args.only_evaluate:
+        eval_step = make_eval_step(cfg)
+        mesh = auto_mesh(args.batch_size, args.model_parallel)
+        params = shard_params(params, mesh)
+        bsh = batch_sharding(mesh)
+        if args.testdev_images:
+            ds = CocoTestDataset(
+                args.testdev_images, None, args.image_size, normalize
+            )
+            if args.test_mini:
+                idx = create_debug_subset(len(ds), args.test_mini_size)
+                idx_file = os.path.join(args.output_dir, "test_mini_indices.json")
+                with open(idx_file, "w") as f:
+                    json.dump({"indices": idx}, f)
+                ds = CocoTestDataset(
+                    args.testdev_images, None, args.image_size, normalize,
+                    indices=idx,
+                )
+            out_file = os.path.join(args.output_dir, "testdev_predictions.json")
+            results = evaluate_dataset(
+                eval_step, params, ds, args.batch_size, ds.label_to_cat_id,
+                output_file=out_file, parity_mode=args.parity_mode,
+                batch_sharding_=bsh,
+            )
+            logger.info("wrote %d detections to %s", len(results), out_file)
+        elif args.val_images:
+            indices = None
+            ds = CocoDetectionDataset(
+                args.val_images, args.val_annotations, args.image_size,
+                normalize=normalize,
+            )
+            if args.use_coco_mini:
+                indices = create_coco_mini(
+                    len(ds), args.coco_mini_size, args.coco_mini_seed,
+                    args.coco_mini_indices_file, args.output_dir,
+                )
+            elif args.debug:
+                indices = create_debug_subset(len(ds), args.debug_samples)
+            if indices is not None:
+                ds = CocoDetectionDataset(
+                    args.val_images, args.val_annotations, args.image_size,
+                    normalize=normalize, indices=indices,
+                )
+            metrics = validate(
+                eval_step, params, ds, args.batch_size, start_epoch,
+                args.output_dir, parity_mode=args.parity_mode,
+                batch_sharding_=bsh,
+            )
+            logger.info("evaluation metrics: %s", metrics)
+        else:
+            logger.error("--only_evaluate needs --val_images or --testdev_images")
+            return 1
+        return 0
+
+    # ------------------------------------------------------------------
+    # Training
+    # ------------------------------------------------------------------
+    if not args.train_images or not args.train_annotations:
+        logger.error("--train_images and --train_annotations are required")
+        return 1
+
+    train_ds = CocoDetectionDataset(
+        args.train_images, args.train_annotations, args.image_size,
+        max_boxes=cfg.data.max_boxes, normalize=normalize,
+    )
+    indices = None
+    if args.debug:
+        indices = create_debug_subset(len(train_ds), args.debug_samples)
+        logger.info("debug mode: %d-sample overfit subset", len(indices))
+    elif args.use_coco_mini:
+        indices = create_coco_mini(
+            len(train_ds), args.coco_mini_size, args.coco_mini_seed,
+            args.coco_mini_indices_file, args.output_dir,
+        )
+    if indices is not None:
+        train_ds = CocoDetectionDataset(
+            args.train_images, args.train_annotations, args.image_size,
+            max_boxes=cfg.data.max_boxes, normalize=normalize, indices=indices,
+        )
+
+    val_ds = None
+    if args.val_images and args.val_annotations:
+        val_ds = CocoDetectionDataset(
+            args.val_images, args.val_annotations, args.image_size,
+            max_boxes=cfg.data.max_boxes, normalize=normalize,
+        )
+        if args.debug:
+            # Debug mode validates on the train subset (overfit check,
+            # reference train.py:897-900).
+            val_ds = train_ds
+
+    val_freq = args.val_frequency
+    if args.debug:
+        val_freq = max(1, args.val_frequency // 5)  # reference train.py:1030
+
+    run_training(
+        cfg,
+        params,
+        train_ds,
+        val_ds,
+        args.output_dir,
+        writer=writer,
+        num_epochs=num_epochs,
+        learning_rate=learning_rate,
+        start_epoch=start_epoch,
+        restored_opt_state=restored_opt,
+        metrics_history=history,
+        model_parallel=args.model_parallel,
+        val_frequency=val_freq,
+        log_frequency=args.log_frequency,
+        memory_monitor=args.memory_monitor,
+        parity_mode=args.parity_mode,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

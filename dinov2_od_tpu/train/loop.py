@@ -1,0 +1,283 @@
+"""Training orchestration: dataset subsetting, epoch loop, validation,
+plots. The engine behind the CLI (reference: dino_detector/train.py
+main_worker, :514-1351)."""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TrainConfig
+from ..data.coco import CocoDetectionDataset, CocoTestDataset
+from ..data.loader import DataLoader, pad_batch
+from ..evaluation.coco_metrics import compute_coco_metrics
+from ..evaluation.postprocess import postprocess_detections
+from ..parallel import auto_mesh, batch_sharding, shard_params
+from ..utils.logging import log_metrics
+from ..utils.memory import format_memory_stats
+from . import checkpoint as ckpt
+from .state import TrainState, create_train_state, make_optimizer
+from .step import make_eval_step, make_train_step
+
+logger = logging.getLogger("dinov2_od_tpu")
+
+
+# ---------------------------------------------------------------------------
+# Dataset subsetting (reference train.py:50-216)
+# ---------------------------------------------------------------------------
+
+def create_debug_subset(n_total: int, n_samples: int, seed: int = 42) -> List[int]:
+    """Seeded debug/overfit subset (reference train.py:50-84; seed 42)."""
+    rng = np.random.default_rng(seed)
+    n = min(n_samples, n_total)
+    return sorted(rng.choice(n_total, size=n, replace=False).tolist())
+
+
+def create_coco_mini(
+    n_total: int,
+    size: str = "1k",
+    seed: int = 42,
+    indices_file: str = "",
+    save_dir: str = "",
+) -> List[int]:
+    """coco-mini subset with persisted/reloadable indices
+    (reference train.py:86-216)."""
+    if indices_file:
+        with open(indices_file) as f:
+            data = json.load(f)
+        indices = data["indices"] if isinstance(data, dict) else data
+        logger.info("coco_mini: loaded %d indices from %s", len(indices), indices_file)
+        return indices
+    sizes = {"1k": 1000, "5k": 5000, "10k": 10000}
+    n = sizes.get(size, int(size) if str(size).isdigit() else 1000)
+    n = min(n, n_total)
+    rng = np.random.default_rng(seed)
+    indices = sorted(rng.choice(n_total, size=n, replace=False).tolist())
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+        out = os.path.join(save_dir, f"coco_mini_indices_{size}_{seed}.json")
+        with open(out, "w") as f:
+            json.dump({"indices": indices, "size": size, "seed": seed}, f)
+        logger.info("coco_mini: saved %d indices to %s", len(indices), out)
+    return indices
+
+
+# ---------------------------------------------------------------------------
+# Evaluation (reference utils.py:167-240, train.py:248-286)
+# ---------------------------------------------------------------------------
+
+def evaluate_dataset(
+    eval_step,
+    params,
+    dataset,
+    batch_size: int,
+    label_to_cat_id: Dict[int, int],
+    output_file: Optional[str] = None,
+    score_threshold: float = 0.05,
+    parity_mode: bool = False,
+    batch_sharding_=None,
+) -> List[dict]:
+    """Inference over a dataset -> COCO result dicts (+ optional JSON)."""
+    loader = DataLoader(dataset, batch_size, shuffle=False, drop_last=False)
+    results: List[dict] = []
+    for batch in loader:
+        n = len(batch["images"])
+        batch = pad_batch(batch, batch_size)
+        images = jnp.asarray(batch["images"])
+        if batch_sharding_ is not None:
+            images = jax.device_put(images, batch_sharding_)
+        out = eval_step(params, images)
+        results.extend(
+            postprocess_detections(
+                np.asarray(out["pred_logits"])[:n],
+                np.asarray(out["pred_boxes"])[:n],
+                batch["image_id"][:n],
+                batch["orig_size"][:n],
+                label_to_cat_id,
+                score_threshold=score_threshold,
+                parity_mode=parity_mode,
+            )
+        )
+    if output_file:
+        with open(output_file, "w") as f:
+            json.dump(results, f)
+    return results
+
+
+def validate(
+    eval_step,
+    params,
+    dataset,
+    batch_size: int,
+    epoch: int,
+    output_dir: str,
+    parity_mode: bool = False,
+    batch_sharding_=None,
+) -> Dict[str, float]:
+    """Validation pass writing per-epoch predictions + metrics JSON
+    (reference train.py:248-286)."""
+    os.makedirs(output_dir, exist_ok=True)
+    pred_file = os.path.join(output_dir, f"predictions_epoch_{epoch}.json")
+    results = evaluate_dataset(
+        eval_step, params, dataset, batch_size,
+        dataset.label_to_cat_id, output_file=pred_file,
+        parity_mode=parity_mode, batch_sharding_=batch_sharding_,
+    )
+    metrics = compute_coco_metrics(results, dataset.coco_path)
+    metrics_file = os.path.join(output_dir, f"metrics_epoch_{epoch}.json")
+    with open(metrics_file, "w") as f:
+        json.dump(metrics, f)
+    logger.info("epoch %d validation: %s", epoch, metrics)
+    return metrics
+
+
+def plot_history(history: Dict[str, Any], output_dir: str) -> None:
+    """Loss / AP curves (reference train.py:288-321)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:  # noqa: BLE001
+        return
+    os.makedirs(output_dir, exist_ok=True)
+    if history.get("train_loss"):
+        plt.figure()
+        plt.plot(history["epochs"], history["train_loss"], label="train loss")
+        plt.xlabel("epoch"); plt.ylabel("loss"); plt.legend(); plt.grid(True)
+        plt.savefig(os.path.join(output_dir, "loss_plot.png"))
+        plt.close()
+    if history.get("val_AP"):
+        plt.figure()
+        for key in ("val_AP", "val_AP50", "val_AP75"):
+            if history.get(key):
+                plt.plot(history["val_epochs"], history[key], label=key)
+        plt.xlabel("epoch"); plt.ylabel("AP"); plt.legend(); plt.grid(True)
+        plt.savefig(os.path.join(output_dir, "ap_plot.png"))
+        plt.close()
+
+
+# ---------------------------------------------------------------------------
+# The training loop
+# ---------------------------------------------------------------------------
+
+def run_training(
+    cfg: TrainConfig,
+    params,
+    train_dataset: CocoDetectionDataset,
+    val_dataset: Optional[CocoDetectionDataset],
+    output_dir: str,
+    writer=None,
+    num_epochs: Optional[int] = None,
+    learning_rate: Optional[float] = None,
+    start_epoch: int = 0,
+    restored_opt_state=None,
+    metrics_history: Optional[Dict[str, Any]] = None,
+    model_parallel: int = 1,
+    val_frequency: int = 5,
+    log_frequency: int = 10,
+    checkpoint_every: int = 10,
+    memory_monitor: bool = False,
+    parity_mode: bool = False,
+) -> TrainState:
+    os.makedirs(output_dir, exist_ok=True)
+    num_epochs = num_epochs or cfg.num_epochs
+    history = metrics_history or {
+        "epochs": [], "train_loss": [],
+        "val_epochs": [], "val_AP": [], "val_AP50": [], "val_AP75": [],
+    }
+
+    mesh = auto_mesh(cfg.data.batch_size, model_parallel)
+    logger.info("device mesh: %s", dict(mesh.shape))
+    params = shard_params(params, mesh)
+    bsharding = batch_sharding(mesh)
+
+    tx = make_optimizer(cfg.optim, cfg.detector, params, learning_rate)
+    state = create_train_state(params, cfg.optim, cfg.detector, learning_rate)
+    if restored_opt_state is not None:
+        state = state._replace(opt_state=restored_opt_state)
+    train_step = make_train_step(cfg, tx)
+    eval_step = make_eval_step(cfg)
+
+    loader = DataLoader(
+        train_dataset,
+        cfg.data.batch_size,
+        shuffle=True,
+        seed=cfg.seed,
+        drop_last=True,
+        num_workers=cfg.data.num_workers,
+    )
+    rng = jax.random.key(cfg.seed)
+    global_step = start_epoch * max(len(loader), 1)
+
+    for epoch in range(start_epoch, num_epochs):
+        loader.set_epoch(epoch)
+        epoch_losses = []
+        t_epoch = time.time()
+        for i, batch in enumerate(loader):
+            batch_dev = {
+                k: jax.device_put(jnp.asarray(v), bsharding)
+                for k, v in batch.items()
+                if k in ("images", "boxes", "labels", "valid")
+            }
+            state, metrics = train_step(state, batch_dev, rng)
+            global_step += 1
+            if i % log_frequency == 0:
+                loss = float(metrics["loss"])
+                epoch_losses.append(loss)
+                logger.info(
+                    "epoch %d batch %d/%d loss %.4f (ce %.4f bbox %.4f giou %.4f)",
+                    epoch, i, len(loader), loss,
+                    float(metrics["loss_ce"]), float(metrics["loss_bbox"]),
+                    float(metrics["loss_giou"]),
+                )
+                log_metrics(
+                    writer,
+                    {k: v for k, v in metrics.items() if k.startswith("loss") or k == "grad_norm"},
+                    global_step,
+                    prefix="train/",
+                )
+                if memory_monitor:
+                    logger.info("memory:\n%s", format_memory_stats())
+
+        epoch_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
+        images_per_sec = (
+            len(loader) * cfg.data.batch_size / max(time.time() - t_epoch, 1e-9)
+        )
+        logger.info(
+            "epoch %d done: mean loss %.4f, %.1f images/sec",
+            epoch, epoch_loss, images_per_sec,
+        )
+        history["epochs"].append(epoch)
+        history["train_loss"].append(epoch_loss)
+        log_metrics(writer, {"epoch_loss": epoch_loss, "images_per_sec": images_per_sec}, epoch, prefix="epoch/")
+
+        if val_dataset is not None and (epoch + 1) % val_frequency == 0:
+            metrics = validate(
+                eval_step, state.params, val_dataset, cfg.data.batch_size,
+                epoch, output_dir, parity_mode=parity_mode,
+                batch_sharding_=bsharding,
+            )
+            history["val_epochs"].append(epoch)
+            for k in ("AP", "AP50", "AP75"):
+                history[f"val_{k}"].append(metrics[k])
+            log_metrics(writer, metrics, epoch, prefix="val/")
+            plot_history(history, output_dir)
+
+        if (epoch + 1) % checkpoint_every == 0 or epoch == num_epochs - 1:
+            path = ckpt.save_checkpoint(
+                output_dir, epoch, state.params, state.opt_state,
+                epoch_loss, history,
+            )
+            logger.info("checkpoint saved: %s", path)
+
+    ckpt.save_final_params(output_dir, state.params)
+    plot_history(history, output_dir)
+    return state

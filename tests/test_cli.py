@@ -1,0 +1,133 @@
+"""End-to-end CLI tests on a synthetic COCO dataset: the `--debug
+--lightweight` overfit harness, resume, and only_evaluate — the test-side
+equivalent of the reference's CLI verification strategy (SURVEY.md §4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dinov2_od_tpu.data.synthetic import write_coco_dataset
+from dinov2_od_tpu.train.cli import build_arg_parser, main, str2bool
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    out = tmp_path_factory.mktemp("synthcoco")
+    images_dir, ann_file = write_coco_dataset(
+        str(out), num_images=12, image_size=56, seed=0
+    )
+    return images_dir, ann_file
+
+
+def test_str2bool_fixes_reference_quirk():
+    # Reference: --use_deformable False parsed as True (train.py:1421).
+    assert str2bool("False") is False
+    assert str2bool("true") is True
+    assert str2bool("0") is False
+
+
+def test_arg_parser_covers_reference_flags():
+    p = build_arg_parser()
+    flags = {a.dest for a in p._actions}
+    for ref_flag in (
+        "train_images", "train_annotations", "val_images", "val_annotations",
+        "testdev_images", "data_dir", "download_train_data",
+        "download_val_data", "download_test_data", "output_dir", "checkpoint",
+        "val_frequency", "only_evaluate", "distributed", "world_size",
+        "dist_url", "debug", "debug_samples", "batch_size", "debug_lr",
+        "use_coco_mini", "coco_mini_size", "coco_mini_seed",
+        "coco_mini_indices_file", "test_mini", "test_mini_size",
+        "use_deformable", "n_points", "dino_model", "lightweight",
+        "skip_checkpoint_load", "set_cost_class", "set_cost_bbox",
+        "set_cost_giou", "focal_alpha", "focal_gamma", "device",
+        "num_classes", "memory_monitor", "log_dir", "log_frequency",
+        "experiment_name", "log_images", "log_images_frequency",
+    ):
+        assert ref_flag in flags, f"missing reference flag {ref_flag}"
+
+
+def test_debug_overfit_via_cli(synth, tmp_path):
+    """`--debug --lightweight` at 56px: loss must drop over 3 epochs, and
+    checkpoints/logs/final model must appear."""
+    images_dir, ann_file = synth
+    out = str(tmp_path / "run1")
+    rc = main([
+        "--train_images", images_dir,
+        "--train_annotations", ann_file,
+        "--debug", "--debug_samples", "8",
+        "--lightweight",
+        "--image_size", "56",
+        "--batch_size", "4",
+        "--num_classes", "6",
+        "--num_epochs", "3",
+        "--learning_rate", "3e-4",
+        "--output_dir", out,
+        "--val_frequency", "100",
+        "--log_frequency", "1",
+    ])
+    assert rc == 0
+    assert os.path.isdir(os.path.join(out, "final_model"))
+    assert os.path.isdir(os.path.join(out, "checkpoint_epoch_2"))
+    # Loss decreased across epochs.
+    hist_file = os.path.join(out, "checkpoint_epoch_2", "metrics_history.json")
+    with open(hist_file) as f:
+        hist = json.load(f)
+    assert len(hist["train_loss"]) == 3
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+
+
+def test_resume_from_checkpoint(synth, tmp_path):
+    images_dir, ann_file = synth
+    out = str(tmp_path / "run2")
+    args = [
+        "--train_images", images_dir, "--train_annotations", ann_file,
+        "--debug", "--debug_samples", "8", "--lightweight",
+        "--image_size", "56", "--batch_size", "4", "--num_classes", "6",
+        "--output_dir", out, "--val_frequency", "100",
+    ]
+    assert main(args + ["--num_epochs", "1"]) == 0
+    ckpt = os.path.join(out, "checkpoint_epoch_0")
+    assert os.path.isdir(ckpt)
+    # Resume: starts at epoch 1, trains one more.
+    assert main(args + ["--num_epochs", "2", "--checkpoint", ckpt]) == 0
+    hist_file = os.path.join(out, "checkpoint_epoch_1", "metrics_history.json")
+    with open(hist_file) as f:
+        hist = json.load(f)
+    assert hist["epochs"] == [0, 1]
+
+
+def test_only_evaluate_val(synth, tmp_path):
+    images_dir, ann_file = synth
+    out = str(tmp_path / "run3")
+    rc = main([
+        "--only_evaluate",
+        "--val_images", images_dir,
+        "--val_annotations", ann_file,
+        "--lightweight", "--image_size", "56", "--batch_size", "4",
+        "--num_classes", "6",
+        "--output_dir", out,
+    ])
+    assert rc == 0
+    metrics_files = [f for f in os.listdir(out) if f.startswith("metrics_epoch_")]
+    assert metrics_files
+    with open(os.path.join(out, metrics_files[0])) as f:
+        metrics = json.load(f)
+    assert set(metrics) == {"AP", "AP50", "AP75", "APs", "APm", "APl"}
+
+
+def test_only_evaluate_testdev_with_test_mini(synth, tmp_path):
+    images_dir, _ = synth
+    out = str(tmp_path / "run4")
+    rc = main([
+        "--only_evaluate",
+        "--testdev_images", images_dir,
+        "--test_mini", "--test_mini_size", "5",
+        "--lightweight", "--image_size", "56", "--batch_size", "4",
+        "--num_classes", "6",
+        "--output_dir", out,
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "testdev_predictions.json"))
+    assert os.path.exists(os.path.join(out, "test_mini_indices.json"))

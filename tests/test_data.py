@@ -1,0 +1,151 @@
+"""Data pipeline tests: COCO parsing semantics, loader behavior,
+post-processing."""
+
+import json
+
+import numpy as np
+import pytest
+
+from dinov2_od_tpu.data.coco import (
+    CocoDetectionDataset,
+    CocoTestDataset,
+    IMAGENET_MEAN,
+)
+from dinov2_od_tpu.data.loader import DataLoader, pad_batch
+from dinov2_od_tpu.data.synthetic import write_coco_dataset
+from dinov2_od_tpu.evaluation.postprocess import postprocess_detections
+
+
+@pytest.fixture(scope="module")
+def coco_fixture(tmp_path_factory):
+    out = tmp_path_factory.mktemp("coco")
+    images_dir, ann_file = write_coco_dataset(str(out), num_images=10, seed=1)
+    return images_dir, ann_file
+
+
+def test_dataset_parsing(coco_fixture):
+    images_dir, ann_file = coco_fixture
+    ds = CocoDetectionDataset(images_dir, ann_file, image_size=64, max_boxes=8)
+    assert len(ds) == 10
+    # Non-contiguous category ids (10, 20, ...) remapped by enumeration.
+    assert ds.cat_id_to_label == {10 * (i + 1): i for i in range(6)}
+    ex = ds.get_example(0)
+    assert ex["images"].shape == (64, 64, 3)
+    assert ex["boxes"].shape == (8, 4)
+    assert ex["valid"].sum() >= 1
+    # Valid boxes are normalized cxcywh.
+    v = ex["boxes"][ex["valid"]]
+    assert (v > 0).all() and (v < 1).all()
+    # Labels in contiguous range.
+    assert (ex["labels"][ex["valid"]] < 6).all()
+
+
+def test_dataset_box_filtering(tmp_path):
+    """Degenerate, tiny, crowd, and out-of-range boxes are dropped
+    (reference dataset.py:75-91)."""
+    images_dir = tmp_path / "images"
+    images_dir.mkdir()
+    from PIL import Image
+
+    Image.new("RGB", (100, 100)).save(images_dir / "000000000001.png")
+    anns = [
+        {"id": 1, "image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "iscrowd": 0},
+        {"id": 2, "image_id": 1, "category_id": 1, "bbox": [10, 10, 0, 20], "iscrowd": 0},   # w=0
+        {"id": 3, "image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "iscrowd": 1},  # crowd
+        {"id": 4, "image_id": 1, "category_id": 1, "bbox": [10, 10, 0.05, 20], "iscrowd": 0}, # tiny
+    ]
+    gt = {
+        "images": [{"id": 1, "file_name": "000000000001.png", "width": 100, "height": 100}],
+        "annotations": anns,
+        "categories": [{"id": 1, "name": "x"}],
+    }
+    ann_file = tmp_path / "ann.json"
+    ann_file.write_text(json.dumps(gt))
+    ds = CocoDetectionDataset(str(images_dir), str(ann_file), image_size=32, max_boxes=4)
+    ex = ds.get_example(0)
+    assert ex["valid"].sum() == 1
+    np.testing.assert_allclose(ex["boxes"][0], [0.2, 0.2, 0.2, 0.2], atol=1e-6)
+
+
+def test_normalization_toggle(coco_fixture):
+    images_dir, ann_file = coco_fixture
+    raw = CocoDetectionDataset(images_dir, ann_file, image_size=32, normalize=False)
+    norm = CocoDetectionDataset(images_dir, ann_file, image_size=32, normalize=True)
+    a = raw.get_example(0)["images"]
+    b = norm.get_example(0)["images"]
+    np.testing.assert_allclose(
+        b, (a - IMAGENET_MEAN) / np.array([0.229, 0.224, 0.225], np.float32),
+        atol=1e-6,
+    )
+    assert 0 <= a.min() and a.max() <= 1
+
+
+def test_loader_batching_and_shuffle(coco_fixture):
+    images_dir, ann_file = coco_fixture
+    ds = CocoDetectionDataset(images_dir, ann_file, image_size=32, max_boxes=8)
+    dl = DataLoader(ds, batch_size=4, shuffle=True, seed=1, drop_last=True, num_workers=2)
+    assert len(dl) == 2
+    batches = list(dl)
+    assert len(batches) == 2
+    assert batches[0]["images"].shape == (4, 32, 32, 3)
+    ids_e0 = np.concatenate([b["image_id"] for b in batches])
+    # Same epoch -> same order; different epoch -> different order.
+    ids_e0_again = np.concatenate([b["image_id"] for b in dl])
+    np.testing.assert_array_equal(ids_e0, ids_e0_again)
+    dl.set_epoch(1)
+    ids_e1 = np.concatenate([b["image_id"] for b in dl])
+    assert not np.array_equal(ids_e0, ids_e1)
+
+
+def test_loader_partial_batch_and_pad(coco_fixture):
+    images_dir, ann_file = coco_fixture
+    ds = CocoDetectionDataset(images_dir, ann_file, image_size=32, max_boxes=8)
+    dl = DataLoader(ds, batch_size=4, drop_last=False)
+    batches = list(dl)
+    assert len(batches) == 3 and len(batches[-1]["images"]) == 2
+    padded = pad_batch(batches[-1], 4)
+    assert padded["images"].shape[0] == 4
+    assert padded["valid"][2:].sum() == 0
+
+
+def test_test_dataset_annotation_free(coco_fixture, tmp_path):
+    images_dir, _ = coco_fixture
+    ds = CocoTestDataset(images_dir, annotation_file=None, image_size=32)
+    assert len(ds) == 10
+    ex = ds.get_example(0)
+    assert ex["images"].shape == (32, 32, 3)
+    assert int(ex["image_id"]) == 1  # from filename stem
+    np.testing.assert_array_equal(ex["orig_size"], [224, 224])
+
+
+def test_postprocess_rescale_and_category_map():
+    # One query strongly predicting class 2 with a known box.
+    logits = np.full((1, 3, 4), -10.0, np.float32)
+    logits[0, 0, 2] = 10.0
+    boxes = np.zeros((1, 3, 4), np.float32)
+    boxes[0, 0] = [0.5, 0.5, 0.2, 0.4]
+    res = postprocess_detections(
+        logits, boxes, image_ids=[77], orig_sizes=[[480, 640]],
+        label_to_cat_id={0: 10, 1: 20, 2: 30, 3: 40},
+    )
+    top = res[0]
+    assert top["image_id"] == 77 and top["category_id"] == 30
+    # cxcywh (0.5,0.5,0.2,0.4) @ 640x480 -> xywh (256, 144, 128, 192).
+    np.testing.assert_allclose(top["bbox"], [256, 144, 128, 192], atol=1e-3)
+    assert top["score"] > 0.99
+    # Low-scoring (sigmoid(-10)) detections fall under the 0.05 threshold.
+    assert all(r["score"] > 0.05 for r in res)
+
+
+def test_postprocess_parity_mode():
+    logits = np.full((1, 2, 3), -10.0, np.float32)
+    logits[0, 0, 0] = 10.0  # class 0 — skipped in parity mode
+    logits[0, 1, 1] = 10.0
+    boxes = np.tile(np.array([0.5, 0.5, 0.2, 0.2], np.float32), (1, 2, 1))
+    res = parity = postprocess_detections(
+        logits, boxes, image_ids=[1], orig_sizes=[[100, 100]],
+        label_to_cat_id={}, parity_mode=True,
+    )
+    assert all(r["category_id"] != 0 for r in parity)
+    # Parity mode: boxes stay normalized (reference bug, utils.py:226).
+    assert all(max(r["bbox"]) <= 1.0 for r in parity)

@@ -1,0 +1,105 @@
+"""Headline benchmark: ViT-B/14 + DETR training throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+- Runs the full jitted train step (forward + on-device Hungarian matching
+  + set loss + backward + clip + Adam) on the flagship config
+  (facebook/dinov2-base equivalent: ViT-B/14 backbone with LoRA, 3-layer
+  deformable DETR decoder, 91 classes, 224px), bf16 backbone compute.
+- Timing uses the async-safe chained-step methodology in
+  utils/benchmark.py (this host's remote TPU dispatch returns before
+  execution finishes, so naive block_until_ready timing is meaningless).
+- vs_baseline compares against the PyTorch reference executing its own
+  train step on this host (BASELINE_MEASURED.json, produced by
+  tools/measure_baseline.py — the reference supports only CUDA/CPU, so
+  CPU is its hardware here; the reference publishes no numbers of its
+  own, see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from dinov2_od_tpu.config import (
+        DataConfig,
+        OptimConfig,
+        TrainConfig,
+        detector_config_for_model_name,
+    )
+    import dataclasses
+
+    from dinov2_od_tpu.data.synthetic import make_batch
+    from dinov2_od_tpu.models import init_detector_params
+    from dinov2_od_tpu.train import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from dinov2_od_tpu.utils.benchmark import measure_steps_per_sec
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
+    n_chips = max(1, len(jax.devices()))
+
+    det = detector_config_for_model_name("facebook/dinov2-base")
+    det = dataclasses.replace(
+        det, backbone=dataclasses.replace(det.backbone, dtype="bfloat16")
+    )
+    cfg = TrainConfig(
+        detector=det,
+        data=DataConfig(batch_size=batch_size, max_boxes=25),
+        optim=OptimConfig(),
+    )
+
+    params = init_detector_params(jax.random.key(0), det)
+    tx = make_optimizer(cfg.optim, det, params)
+    state = create_train_state(params, cfg.optim, det)
+    step = make_train_step(cfg, tx)
+
+    raw = make_batch(
+        np.random.default_rng(0), batch_size, image_size=224, max_boxes=25
+    )
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+
+    sec_per_step, _ = measure_steps_per_sec(
+        step, state, batch, jax.random.key(1), iters=8
+    )
+    images_per_sec_chip = batch_size / sec_per_step / n_chips
+
+    vs_baseline = 0.0
+    baseline_file = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
+    if os.path.exists(baseline_file):
+        with open(baseline_file) as f:
+            base = json.load(f)
+        ref = base.get("standard_attention", {}).get("images_per_sec", 0.0)
+        if ref > 0:
+            vs_baseline = images_per_sec_chip / ref
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "ViT-B/14+DETR(deformable) train step throughput "
+                    f"(batch {batch_size}, 224px, bf16 backbone, "
+                    f"{jax.default_backend()})"
+                ),
+                "value": round(images_per_sec_chip, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -66,12 +66,15 @@ def bbox_iou_xywh(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.nda
 
 
 def _match_image_category(
-    dt_boxes, dt_scores, gt_boxes, gt_ignore, gt_iscrowd, area_rng, max_det
+    dt_boxes, dt_scores, gt_boxes, gt_ignore, gt_iscrowd, area_rng, max_det,
+    use_native: bool = True,
 ):
     """pycocotools COCOeval.evaluateImg for one (image, category).
 
     Returns dict with per-threshold detection matches/ignores and the
-    number of non-ignored GT.
+    number of non-ignored GT. The O(thr * dt * gt) inner loop dispatches to
+    the C++ kernel (native/coco_eval.cc) when built; the numpy/Python loop
+    below is the reference implementation and fallback.
     """
     t_count = len(IOU_THRS)
     # GT order: non-ignored first (pycocotools sorts by _ignore).
@@ -83,6 +86,21 @@ def _match_image_category(
     d_order = np.argsort(-dt_scores, kind="stable")[:max_det]
     dt_boxes_s = dt_boxes[d_order]
     dt_scores_s = dt_scores[d_order]
+
+    if use_native:
+        from .native import get_lib, match_cell_native
+
+        if get_lib() is not None:
+            dtm, dt_ig = match_cell_native(
+                dt_boxes_s, gt_boxes, gt_ig.astype(np.int32),
+                gt_crowd.astype(np.int32), IOU_THRS, area_rng,
+            )
+            return {
+                "dt_scores": dt_scores_s,
+                "dtm": dtm,
+                "dt_ignore": dt_ig,
+                "num_gt": int((~gt_ig).sum()),
+            }
 
     ious = bbox_iou_xywh(dt_boxes_s, gt_boxes, gt_crowd)
 

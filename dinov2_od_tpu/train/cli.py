@@ -362,6 +362,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         log_frequency=args.log_frequency,
         memory_monitor=args.memory_monitor,
         parity_mode=args.parity_mode,
+        log_images_enabled=args.log_images,
+        log_images_frequency=args.log_images_frequency,
     )
     return 0
 

@@ -20,7 +20,7 @@ from ..data.loader import DataLoader, pad_batch
 from ..evaluation.coco_metrics import compute_coco_metrics
 from ..evaluation.postprocess import postprocess_detections
 from ..parallel import auto_mesh, batch_sharding, shard_params
-from ..utils.logging import log_metrics
+from ..utils.logging import log_images, log_metrics
 from ..utils.memory import format_memory_stats
 from . import checkpoint as ckpt
 from .state import TrainState, create_train_state, make_optimizer
@@ -186,6 +186,8 @@ def run_training(
     checkpoint_every: int = 10,
     memory_monitor: bool = False,
     parity_mode: bool = False,
+    log_images_enabled: bool = False,
+    log_images_frequency: int = 100,
 ) -> TrainState:
     os.makedirs(output_dir, exist_ok=True)
     num_epochs = num_epochs or cfg.num_epochs
@@ -246,6 +248,16 @@ def run_training(
                 )
                 if memory_monitor:
                     logger.info("memory:\n%s", format_memory_stats())
+            if (
+                log_images_enabled
+                and writer is not None
+                and global_step % log_images_frequency == 0
+            ):
+                log_images(
+                    writer, batch["images"], global_step,
+                    tag="train/images", gt_boxes=batch["boxes"],
+                    gt_valid=batch["valid"],
+                )
 
         epoch_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
         images_per_sec = (

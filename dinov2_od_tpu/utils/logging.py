@@ -66,14 +66,80 @@ def log_metrics(writer, metrics: Dict, global_step: int, prefix: str = ""):
             continue
 
 
-def log_images(writer, images: np.ndarray, global_step: int = 0, tag: str = "images"):
-    """Log up to 8 images [B, H, W, 3] (reference utils.py:360-384)."""
+def draw_boxes(
+    image: np.ndarray,
+    boxes_cxcywh: np.ndarray,
+    valid=None,
+    color=(1.0, 0.0, 0.0),
+    thickness: int = 2,
+) -> np.ndarray:
+    """Rasterize normalized cxcywh boxes onto an [H, W, 3] float image.
+
+    The reference left bbox overlay as a TODO (utils.py:379-381); this
+    implements it with pure numpy (no PIL round-trip in the train loop).
+    """
+    img = image.copy()
+    h, w = img.shape[:2]
+    boxes = np.asarray(boxes_cxcywh).reshape(-1, 4)
+    if valid is None:
+        valid = np.ones(len(boxes), bool)
+    for box, ok in zip(boxes, np.asarray(valid).reshape(-1)):
+        if not ok:
+            continue
+        cx, cy, bw, bh = box
+        x0 = int(np.clip((cx - bw / 2) * w, 0, w - 1))
+        x1 = int(np.clip((cx + bw / 2) * w, 0, w - 1))
+        y0 = int(np.clip((cy - bh / 2) * h, 0, h - 1))
+        y1 = int(np.clip((cy + bh / 2) * h, 0, h - 1))
+        t = thickness
+        img[y0 : y0 + t, x0 : x1 + 1] = color
+        img[max(y1 - t + 1, 0) : y1 + 1, x0 : x1 + 1] = color
+        img[y0 : y1 + 1, x0 : x0 + t] = color
+        img[y0 : y1 + 1, max(x1 - t + 1, 0) : x1 + 1] = color
+    return img
+
+
+def log_images(
+    writer,
+    images: np.ndarray,
+    global_step: int = 0,
+    tag: str = "images",
+    gt_boxes: np.ndarray = None,
+    gt_valid: np.ndarray = None,
+    pred_boxes: np.ndarray = None,
+    pred_scores: np.ndarray = None,
+    score_threshold: float = 0.5,
+):
+    """Log up to 8 images [B, H, W, 3], optionally with GT (red) and
+    prediction (green) box overlays (reference utils.py:360-384; overlay
+    was an unimplemented TODO there)."""
     if writer is None:
         return
-    images = np.asarray(images)
-    if images.ndim == 4:
-        images = images[:8]
-        # SummaryWriter wants NCHW.
-        writer.add_images(tag, images.transpose(0, 3, 1, 2), global_step)
-    else:
+    images = np.asarray(images, np.float32)
+    if images.ndim != 4:
         writer.add_image(tag, images.transpose(2, 0, 1), global_step)
+        return
+    n = min(len(images), 8)
+    drawn = []
+    for i in range(n):
+        img = images[i]
+        # Undo normalization for display if values are outside [0, 1].
+        if img.min() < -0.01 or img.max() > 1.01:
+            lo, hi = img.min(), img.max()
+            img = (img - lo) / max(hi - lo, 1e-6)
+        if gt_boxes is not None:
+            img = draw_boxes(
+                img, gt_boxes[i],
+                None if gt_valid is None else gt_valid[i],
+                color=(1.0, 0.1, 0.1),
+            )
+        if pred_boxes is not None:
+            keep = (
+                np.asarray(pred_scores[i]) > score_threshold
+                if pred_scores is not None
+                else None
+            )
+            img = draw_boxes(img, pred_boxes[i], keep, color=(0.1, 1.0, 0.1))
+        drawn.append(img)
+    # SummaryWriter wants NCHW.
+    writer.add_images(tag, np.stack(drawn).transpose(0, 3, 1, 2), global_step)

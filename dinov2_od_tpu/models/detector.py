@@ -111,6 +111,31 @@ def lora_block_multiplier(params: Params, cfg: DetectorConfig) -> Params:
     return jax.tree_util.tree_map_with_path(mult, params)
 
 
+def fold_detector_lora(params: Params, cfg: DetectorConfig) -> Params:
+    """Fold LoRA deltas into the backbone base kernels for serving:
+    W' = W + alpha * A @ B per adapted linear, then zero the factors.
+
+    The folded model computes each adapted linear as ONE GEMM instead of
+    three; `detector_apply` output is bitwise-insensitive to the fold up to
+    float addition order (validated in tests). Block params are stacked
+    [depth, ...], so the fold is a single batched einsum per linear.
+    """
+    alpha = cfg.backbone.lora_alpha
+    backbone = dict(params["backbone"])
+    blocks = {k: (dict(v) if isinstance(v, dict) else v)
+              for k, v in backbone["blocks"].items()}
+    for lin in ("q", "k", "v", "proj", "fc1", "fc2"):
+        bp = dict(blocks[lin])
+        if "lora_A" in bp:
+            delta = jnp.einsum("lir,lro->lio", bp["lora_A"], bp["lora_B"])
+            bp["kernel"] = bp["kernel"] + alpha * delta
+            bp["lora_A"] = jnp.zeros_like(bp["lora_A"])
+            bp["lora_B"] = jnp.zeros_like(bp["lora_B"])
+            blocks[lin] = bp
+    backbone["blocks"] = blocks
+    return {**params, "backbone": backbone}
+
+
 def count_params(params: Params) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(params))
 

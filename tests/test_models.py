@@ -174,3 +174,39 @@ def test_interpolate_pos_embed():
     np.testing.assert_array_equal(np.asarray(out[:, 0]), np.asarray(pe[:, 0]))
     same = interpolate_pos_embed(pe, 4, 4)
     np.testing.assert_array_equal(np.asarray(same), np.asarray(pe))
+
+
+def test_fold_lora_preserves_forward():
+    """After training (B != 0), folding LoRA into base kernels must give
+    the same detector outputs."""
+    import jax.numpy as jnp
+    from dinov2_od_tpu.models.detector import fold_detector_lora
+
+    cfg = _tiny_detector()
+    params = init_detector_params(jax.random.key(0), cfg)
+    # Give the adapters nonzero B so the fold actually changes kernels.
+    params["backbone"]["blocks"]["q"]["lora_B"] = (
+        params["backbone"]["blocks"]["q"]["lora_B"] + 0.05
+    )
+    params["backbone"]["blocks"]["fc2"]["lora_B"] = (
+        params["backbone"]["blocks"]["fc2"]["lora_B"] - 0.03
+    )
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 56, 56, 3)), jnp.float32
+    )
+    base = detector_apply(params, cfg, x)
+    folded_params = fold_detector_lora(params, cfg)
+    folded = detector_apply(folded_params, cfg, x)
+    np.testing.assert_allclose(
+        np.asarray(folded["pred_logits"]), np.asarray(base["pred_logits"]),
+        rtol=2e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(folded["pred_boxes"]), np.asarray(base["pred_boxes"]),
+        rtol=2e-4, atol=2e-5,
+    )
+    # And the fold genuinely moved the kernels.
+    assert np.abs(
+        np.asarray(folded_params["backbone"]["blocks"]["q"]["kernel"])
+        - np.asarray(params["backbone"]["blocks"]["q"]["kernel"])
+    ).max() > 1e-4

@@ -21,7 +21,13 @@ from .vit import backbone_apply, init_backbone_params
 Params = Dict[str, Any]
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames="cfg")
 def init_detector_params(rng: jax.Array, cfg: DetectorConfig) -> Params:
+    # Jitted: eager init would dispatch hundreds of tiny ops (slow on
+    # remote/tunnel device transports); one compiled program instead.
     kb, kd = jax.random.split(rng)
     return {
         "backbone": init_backbone_params(kb, cfg.backbone),

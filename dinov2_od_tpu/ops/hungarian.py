@@ -116,15 +116,32 @@ def hungarian_assign(cost: jnp.ndarray, row_valid: jnp.ndarray) -> jnp.ndarray:
         jnp.zeros((n + 1,), jnp.int32),
     )
 
-    def outer(idx, carry):
-        return jax.lax.cond(
-            row_valid[idx],
-            lambda c: _augment_one_row(jnp.int32(idx + 1), c, cost_pad, n),
-            lambda c: c,
-            carry,
-        )
+    # Iterate only up to the last valid row (a while_loop, so that under
+    # vmap the lockstep trip count is max-over-batch of that bound instead
+    # of always n — COCO batches average ~7 GT against 50+ padded slots).
+    # Invalid rows below the bound are computed-then-discarded via select
+    # (vmap would do the same to a lax.cond anyway).
+    limit = jnp.where(
+        jnp.any(row_valid),
+        n - jnp.argmax(row_valid[::-1]).astype(jnp.int32),
+        0,
+    )
 
-    _, _, p, _ = jax.lax.fori_loop(0, n, outer, init)
+    def outer_cond(carry):
+        i, _ = carry
+        return i < limit
+
+    def outer_body(carry):
+        i, state = carry
+        new_state = _augment_one_row(i + 1, state, cost_pad, n)
+        state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(row_valid[i], a, b), new_state, state
+        )
+        return (i + 1, state)
+
+    _, (_, _, p, _) = jax.lax.while_loop(
+        outer_cond, outer_body, (jnp.int32(0), init)
+    )
     return p[1:].astype(jnp.int32) - 1
 
 

@@ -231,9 +231,11 @@ def run_training(
             }
             state, metrics = train_step(state, batch_dev, rng)
             global_step += 1
+            # Keep the loss as a device scalar; epoch mean is fetched once
+            # (per-batch float() would sync the dispatch pipeline).
+            epoch_losses.append(metrics["loss"])
             if i % log_frequency == 0:
                 loss = float(metrics["loss"])
-                epoch_losses.append(loss)
                 logger.info(
                     "epoch %d batch %d/%d loss %.4f (ce %.4f bbox %.4f giou %.4f)",
                     epoch, i, len(loader), loss,
@@ -259,7 +261,11 @@ def run_training(
                     gt_valid=batch["valid"],
                 )
 
-        epoch_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
+        epoch_loss = (
+            float(np.mean([np.asarray(l) for l in epoch_losses]))
+            if epoch_losses
+            else float("nan")
+        )
         images_per_sec = (
             len(loader) * cfg.data.batch_size / max(time.time() - t_epoch, 1e-9)
         )

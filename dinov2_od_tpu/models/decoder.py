@@ -153,7 +153,7 @@ def _layer_apply(
     sa = _self_attention_block(
         tgt, lp["self_attn"], cfg.num_heads, dr, rngs[0], deterministic
     )
-    tgt = layer_norm(tgt + dropout(sa, dr, rngs[0], deterministic), lp["ln1"])
+    tgt = layer_norm(tgt + dropout(sa, dr, rngs[0], deterministic), lp["ln1"], eps=1e-5)
 
     # Cross-attention to encoder memory.
     if cfg.use_deformable:
@@ -169,13 +169,13 @@ def _layer_apply(
         )
     else:
         ca = _cross_attention_block(tgt, memory, lp["cross_attn"], cfg.num_heads)
-    tgt = layer_norm(tgt + dropout(ca, dr, rngs[1], deterministic), lp["ln2"])
+    tgt = layer_norm(tgt + dropout(ca, dr, rngs[1], deterministic), lp["ln2"], eps=1e-5)
 
     # FFN (ReLU, post-norm).
     h = jax.nn.relu(linear(tgt, lp["fc1"]))
     h = dropout(h, dr, rngs[2], deterministic)
     h = linear(h, lp["fc2"])
-    tgt = layer_norm(tgt + dropout(h, dr, rngs[3], deterministic), lp["ln3"])
+    tgt = layer_norm(tgt + dropout(h, dr, rngs[3], deterministic), lp["ln3"], eps=1e-5)
     return tgt
 
 

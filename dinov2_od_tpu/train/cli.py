@@ -95,6 +95,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--pretrained_backbone", type=str, default="",
                    help="path to an HF PyTorch DINOv2 checkpoint dir/file to import")
+    p.add_argument("--import_reference_checkpoint", type=str, default="",
+                   help="path to a full PyTorch reference (dino_detector) "
+                        "detector checkpoint to migrate (backbone + LoRA + "
+                        "decoder)")
 
     # Loss / matcher (reference train.py:1434-1445)
     p.add_argument("--set_cost_class", type=float, default=1.0)
@@ -222,14 +226,24 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     # Model init (+ optional pretrained backbone import).
     params = init_detector_params(jax.random.key(cfg.seed), det_cfg)
-    if args.pretrained_backbone:
+    if args.import_reference_checkpoint:
+        from ..models.import_reference import load_reference_detector_params
+
+        params = load_reference_detector_params(
+            args.import_reference_checkpoint, det_cfg, params
+        )
+        logger.info(
+            "migrated full reference checkpoint from %s",
+            args.import_reference_checkpoint,
+        )
+    elif args.pretrained_backbone:
         from ..models.import_torch import load_dinov2_backbone_params
 
         params["backbone"] = load_dinov2_backbone_params(
             args.pretrained_backbone, det_cfg.backbone, params["backbone"]
         )
         logger.info("imported pretrained backbone from %s", args.pretrained_backbone)
-    else:
+    elif not args.import_reference_checkpoint:
         logger.warning(
             "no --pretrained_backbone given: backbone is randomly initialized "
             "(this environment has no network access to fetch HF weights)"

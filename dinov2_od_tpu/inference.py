@@ -1,0 +1,150 @@
+"""High-level inference API.
+
+The reference exposes inference only through the evaluation CLI
+(train.py --only_evaluate); this gives users a direct serving surface:
+
+    from dinov2_od_tpu.inference import Predictor
+    p = Predictor.from_checkpoint("outputs/checkpoint_epoch_49",
+                                  model_name="facebook/dinov2-base")
+    detections = p.detect(["img1.jpg", "img2.jpg"], score_threshold=0.5)
+
+TPU-minded serving details:
+- LoRA factors are folded into the base kernels at load time (one GEMM per
+  adapted linear).
+- The forward is jitted once per (batch) shape; inputs are padded to the
+  configured batch size so shapes stay static.
+- Post-processing (sigmoid/top-k/rescale) runs on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DetectorConfig, detector_config_for_model_name
+from .data.coco import IMAGENET_MEAN, IMAGENET_STD, _load_image
+from .evaluation.postprocess import postprocess_detections
+from .models import detector_apply, init_detector_params
+from .models.detector import fold_detector_lora
+from .train.checkpoint import restore_checkpoint
+
+
+class Predictor:
+    def __init__(
+        self,
+        params,
+        cfg: DetectorConfig,
+        label_to_cat_id: Optional[Dict[int, int]] = None,
+        class_names: Optional[Dict[int, str]] = None,
+        batch_size: int = 8,
+        normalize: bool = True,
+        fold_lora: bool = True,
+    ):
+        if fold_lora:
+            params = fold_detector_lora(params, cfg)
+        self.params = params
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.normalize = normalize
+        self.label_to_cat_id = label_to_cat_id or {}
+        self.class_names = class_names or {}
+        self._forward = jax.jit(
+            lambda p, x: detector_apply(p, cfg, x, deterministic=True)
+        )
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        checkpoint_path: str,
+        model_name: str = "facebook/dinov2-base",
+        num_classes: int = 91,
+        detector_cfg: Optional[DetectorConfig] = None,
+        **kwargs,
+    ) -> "Predictor":
+        cfg = detector_cfg or detector_config_for_model_name(
+            model_name, num_classes=num_classes
+        )
+        template = init_detector_params(jax.random.key(0), cfg)
+        params, _, _, _ = restore_checkpoint(checkpoint_path, template, None)
+        return cls(params, cfg, **kwargs)
+
+    def _prepare(self, images: Sequence[Union[str, np.ndarray]]):
+        size = self.cfg.backbone.image_size
+        arrs, orig_sizes = [], []
+        for im in images:
+            if isinstance(im, str):
+                from PIL import Image
+
+                with Image.open(im) as pil:
+                    orig_sizes.append([pil.size[1], pil.size[0]])
+                arr = _load_image(im, size)
+            else:
+                arr = np.asarray(im, np.float32)
+                orig_sizes.append(list(arr.shape[:2]))
+                if arr.shape[:2] != (size, size):
+                    from PIL import Image
+
+                    pil = Image.fromarray((arr * 255).astype(np.uint8))
+                    arr = (
+                        np.asarray(
+                            pil.resize((size, size), Image.Resampling.BILINEAR),
+                            np.float32,
+                        )
+                        / 255.0
+                    )
+            if self.normalize:
+                arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
+            arrs.append(arr)
+        return np.stack(arrs), np.asarray(orig_sizes, np.int32)
+
+    def detect(
+        self,
+        images: Sequence[Union[str, np.ndarray]],
+        score_threshold: float = 0.5,
+        max_detections: int = 100,
+    ) -> List[List[dict]]:
+        """Run detection.
+
+        Args:
+          images: file paths, or [H, W, 3] float arrays in [0, 1].
+
+        Returns:
+          Per image: list of {"bbox": xywh pixels, "score", "category_id",
+          "label" (contiguous), "name" (if class names known)}.
+        """
+        pixel, orig_sizes = self._prepare(images)
+        n = len(pixel)
+        bs = self.batch_size
+        per_image: List[List[dict]] = [[] for _ in range(n)]
+        for start in range(0, n, bs):
+            chunk = pixel[start : start + bs]
+            sizes = orig_sizes[start : start + bs]
+            pad = bs - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+                sizes = np.concatenate([sizes, np.ones((pad, 2), sizes.dtype)])
+            out = self._forward(self.params, jnp.asarray(chunk))
+            results = postprocess_detections(
+                np.asarray(out["pred_logits"])[: bs - pad],
+                np.asarray(out["pred_boxes"])[: bs - pad],
+                np.arange(start, start + bs - pad),
+                sizes[: bs - pad],
+                self.label_to_cat_id,
+                score_threshold=score_threshold,
+                max_detections=max_detections,
+            )
+            for r in results:
+                idx = r["image_id"]
+                det = {
+                    "bbox": r["bbox"],
+                    "score": r["score"],
+                    "category_id": r["category_id"],
+                }
+                if self.class_names:
+                    det["name"] = self.class_names.get(r["category_id"], "")
+                per_image[idx].append(det)
+        return per_image

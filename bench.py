@@ -47,10 +47,17 @@ def main() -> int:
     )
     from dinov2_od_tpu.utils.benchmark import measure_steps_per_sec
 
+    # Env-configurable: BENCH_BATCH, BENCH_MODEL (small|base|large),
+    # BENCH_IMAGE_SIZE (224|518), BENCH_MODE (train|eval), BENCH_REMAT=1.
     batch_size = int(os.environ.get("BENCH_BATCH", "32"))
+    model = os.environ.get("BENCH_MODEL", "base")
+    image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "224"))
+    mode = os.environ.get("BENCH_MODE", "train")
     n_chips = max(1, len(jax.devices()))
 
-    det = detector_config_for_model_name("facebook/dinov2-base")
+    det = detector_config_for_model_name(
+        f"facebook/dinov2-{model}", hidden_dim=768, image_size=image_size
+    )
     det = dataclasses.replace(
         det, backbone=dataclasses.replace(det.backbone, dtype="bfloat16")
     )
@@ -58,6 +65,7 @@ def main() -> int:
         detector=det,
         data=DataConfig(batch_size=batch_size, max_boxes=25),
         optim=OptimConfig(),
+        use_remat=os.environ.get("BENCH_REMAT", "0") == "1",
     )
 
     params = init_detector_params(jax.random.key(0), det)
@@ -66,13 +74,25 @@ def main() -> int:
     step = make_train_step(cfg, tx)
 
     raw = make_batch(
-        np.random.default_rng(0), batch_size, image_size=224, max_boxes=25
+        np.random.default_rng(0), batch_size, image_size=image_size,
+        max_boxes=25,
     )
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
 
-    sec_per_step, _ = measure_steps_per_sec(
-        step, state, batch, jax.random.key(1), iters=8
-    )
+    if mode == "eval":
+        from dinov2_od_tpu.models import detector_apply
+        from dinov2_od_tpu.models.detector import fold_detector_lora
+        from dinov2_od_tpu.utils.benchmark import time_fn
+
+        eval_params = fold_detector_lora(params, det)
+        sec_per_step = time_fn(
+            lambda im: detector_apply(eval_params, det, im, deterministic=True),
+            batch["images"],
+        )
+    else:
+        sec_per_step, _ = measure_steps_per_sec(
+            step, state, batch, jax.random.key(1), iters=8
+        )
     images_per_sec_chip = batch_size / sec_per_step / n_chips
 
     vs_baseline = 0.0
@@ -88,9 +108,9 @@ def main() -> int:
         json.dumps(
             {
                 "metric": (
-                    "ViT-B/14+DETR(deformable) train step throughput "
-                    f"(batch {batch_size}, 224px, bf16 backbone, "
-                    f"{jax.default_backend()})"
+                    f"ViT-{model[0].upper()}/14+DETR(deformable) {mode} "
+                    f"step throughput (batch {batch_size}, {image_size}px, "
+                    f"bf16 backbone, {jax.default_backend()})"
                 ),
                 "value": round(images_per_sec_chip, 2),
                 "unit": "images/sec/chip",

@@ -227,6 +227,9 @@ class TrainConfig:
     checkpoint_every_epochs: int = 10
     val_frequency: int = 5
     log_frequency: int = 10
+    # Rematerialize backbone blocks in the backward pass (trade FLOPs for
+    # HBM at 518px / large models).
+    use_remat: bool = False
 
 
 def lightweight_detector_config(

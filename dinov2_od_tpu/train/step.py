@@ -50,6 +50,7 @@ def make_train_step(cfg: TrainConfig, tx: optax.GradientTransformation):
                 batch["images"],
                 rng=step_rng,
                 deterministic=False,
+                use_remat=cfg.use_remat,
             )
             losses = set_criterion(
                 out["pred_logits"],

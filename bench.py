@@ -85,9 +85,12 @@ def main() -> int:
         from dinov2_od_tpu.utils.benchmark import time_fn
 
         eval_params = fold_detector_lora(params, det)
+        # params passed as an argument — closing over them would embed all
+        # 86M weights as HLO constants (this backend's remote-compile
+        # service rejects oversized modules with HTTP 413).
         sec_per_step = time_fn(
-            lambda im: detector_apply(eval_params, det, im, deterministic=True),
-            batch["images"],
+            lambda im, p: detector_apply(p, det, im, deterministic=True),
+            batch["images"], eval_params,
         )
     else:
         sec_per_step, _ = measure_steps_per_sec(

@@ -208,29 +208,18 @@ def decoder_apply(
         (b, cfg.num_queries, d),
     )
 
-    layer_rngs = (
-        jax.random.split(rng, cfg.num_layers) if rng is not None else None
-    )
-
-    def body(carry, xs):
-        lp, lrng = xs
-        out = _layer_apply(
-            carry, memory, lp, cfg, spatial_shape, lrng, deterministic
-        )
-        return out, None
-
-    xs = (
-        (params["layers"], layer_rngs)
-        if layer_rngs is not None
-        else (params["layers"], jnp.zeros((cfg.num_layers, 0)))
-    )
-    if layer_rngs is None:
+    if rng is not None:
+        xs = (params["layers"], jax.random.split(rng, cfg.num_layers))
         body_fn = lambda c, x: (
-            _layer_apply(c, memory, x[0], cfg, spatial_shape, None, True),
+            _layer_apply(c, memory, x[0], cfg, spatial_shape, x[1], deterministic),
             None,
         )
     else:
-        body_fn = body
+        xs = params["layers"]
+        body_fn = lambda c, lp: (
+            _layer_apply(c, memory, lp, cfg, spatial_shape, None, True),
+            None,
+        )
     tgt, _ = jax.lax.scan(body_fn, tgt, xs)
 
     logits = linear(tgt, params["class_embed"])

@@ -98,9 +98,32 @@ def _attention(x: jnp.ndarray, bp: Params, cfg: BackboneConfig, attn_impl: str):
     h = cfg.num_heads
     dh = d // h
     alpha = cfg.lora_alpha
-    q = lora_linear(x, bp["q"], alpha).reshape(b, n, h, dh)
-    k = lora_linear(x, bp["k"], alpha).reshape(b, n, h, dh)
-    v = lora_linear(x, bp["v"], alpha).reshape(b, n, h, dh)
+
+    # One fused [D, 3D] GEMM for q/k/v (the concat is a cheap on-chip copy;
+    # three separate skinny GEMMs measurably underutilize the MXU).
+    w_qkv = jnp.concatenate(
+        [bp["q"]["kernel"], bp["k"]["kernel"], bp["v"]["kernel"]], axis=1
+    ).astype(x.dtype)
+    b_qkv = jnp.concatenate(
+        [bp["q"]["bias"], bp["k"]["bias"], bp["v"]["bias"]]
+    ).astype(x.dtype)
+    qkv = x @ w_qkv + b_qkv
+    if "lora_A" in bp["q"]:
+        # Fused LoRA: x @ [A_q|A_k|A_v] then block-diagonal B per part.
+        a_qkv = jnp.concatenate(
+            [bp["q"]["lora_A"], bp["k"]["lora_A"], bp["v"]["lora_A"]], axis=1
+        ).astype(x.dtype)
+        xa = x @ a_qkv  # [B, N, 3r]
+        r = bp["q"]["lora_A"].shape[-1]
+        deltas = [
+            (xa[..., i * r : (i + 1) * r] @ bp[p]["lora_B"].astype(x.dtype))
+            for i, p in enumerate(("q", "k", "v"))
+        ]
+        qkv = qkv + alpha * jnp.concatenate(deltas, axis=-1)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, n, h, dh)
+    k = k.reshape(b, n, h, dh)
+    v = v.reshape(b, n, h, dh)
     out = multi_head_attention(q, k, v, impl=attn_impl).reshape(b, n, d)
     return lora_linear(out, bp["proj"], alpha)
 

@@ -154,6 +154,81 @@ def _pad_seq(x, s_pad):
     return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
 
 
+
+
+# ---------------------------------------------------------------------------
+# All-heads variant: grid over batch only. At ViT lengths (e.g. 257 tokens)
+# the per-(batch, head) grid is launch-bound — folding every head into one
+# grid step as head-batched MXU matmuls cuts launches by num_heads.
+# Selected when the whole [H, S, S] fp32 logits tile fits the VMEM budget.
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel_allheads(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
+    q = q_ref[0]  # [H, Sq, dh]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale  # [H, Sq, Sk]
+    if kv_len < k.shape[1]:
+        key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(key_ids < kv_len, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) / l
+    o_ref[0] = o.astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)  # [H, Sq, 1]
+
+
+def _bwd_kernel_allheads(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dq_ref, dk_ref, dv_ref, *, scale, kv_len, q_len):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]      # [H, Sq, 1]
+    delta = delta_ref[0]  # [H, Sq, 1]
+
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale  # [H, Sq, Sk]
+    if kv_len < k.shape[1]:
+        key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(key_ids < kv_len, s, _NEG_INF)
+    if q_len < q.shape[1]:
+        q_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(q_ids < q_len, s, _NEG_INF)
+    p = jnp.exp(s - lse)
+
+    dp = jax.lax.dot_general(
+        do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # [H, Sq, Sk]
+    ds = p * (dp - delta) * scale
+    dq = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dk = jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [H, Sk, dh]
+    dv = jax.lax.dot_general(
+        p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [H, Sk, dh]
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _allheads_eligible(h: int, sq_pad: int, sk_pad: int) -> bool:
+    return h * sq_pad * sk_pad * 4 <= _LOGITS_VMEM_BUDGET
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash_bhsd(q, k, v, scale, block_q, interpret):
     out, _ = _flash_fwd(q, k, v, scale, block_q, interpret)
@@ -172,6 +247,23 @@ def _flash_fwd(q, k, v, scale, block_q, interpret):
         block_q = _round_up(sq, _SUBLANE)
     sq_pad = _round_up(sq, block_q)
     qp, kp, vp = _pad_seq(q, sq_pad), _pad_seq(k, sk_pad), _pad_seq(v, sk_pad)
+
+    if _allheads_eligible(h, sq_pad, sk_pad):
+        spec = pl.BlockSpec((1, h, sq_pad, dh), lambda bi: (bi, 0, 0, 0))
+        kvspec = pl.BlockSpec((1, h, sk_pad, dh), lambda bi: (bi, 0, 0, 0))
+        lspec = pl.BlockSpec((1, h, sq_pad, 1), lambda bi: (bi, 0, 0, 0))
+        out, lse = pl.pallas_call(
+            functools.partial(_fwd_kernel_allheads, scale=scale, kv_len=sk),
+            grid=(b,),
+            in_specs=[spec, kvspec, kvspec],
+            out_specs=[spec, lspec],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h, sq_pad, dh), q.dtype),
+                jax.ShapeDtypeStruct((b, h, sq_pad, 1), jnp.float32),
+            ],
+            interpret=interpret,
+        )(qp, kp, vp)
+        return out[:, :, :sq], (q, k, v, out[:, :, :sq], lse)
 
     grid = (b, h, sq_pad // block_q)
     kv_spec = pl.BlockSpec(
@@ -225,6 +317,26 @@ def _flash_bwd(scale, block_q, interpret, res, g):
     dop = _pad_seq(g, sq_pad)
     lsep = lse  # saved at padded length by the forward
     deltap = _pad_seq(delta, sq_pad)
+
+    if _allheads_eligible(h, sq_pad, sk_pad):
+        spec = pl.BlockSpec((1, h, sq_pad, dh), lambda bi: (bi, 0, 0, 0))
+        kvspec = pl.BlockSpec((1, h, sk_pad, dh), lambda bi: (bi, 0, 0, 0))
+        lspec = pl.BlockSpec((1, h, sq_pad, 1), lambda bi: (bi, 0, 0, 0))
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(
+                _bwd_kernel_allheads, scale=scale, kv_len=sk, q_len=sq
+            ),
+            grid=(b,),
+            in_specs=[spec, kvspec, kvspec, spec, lspec, lspec],
+            out_specs=[spec, kvspec, kvspec],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h, sq_pad, dh), q.dtype),
+                jax.ShapeDtypeStruct((b, h, sk_pad, dh), k.dtype),
+                jax.ShapeDtypeStruct((b, h, sk_pad, dh), v.dtype),
+            ],
+            interpret=interpret,
+        )(qp, kp, vp, dop, lsep, deltap)
+        return dq[:, :, :sq], dk[:, :, :sk], dv[:, :, :sk]
 
     q_spec = pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, i: (bi, hi, i, 0))
     qfull_spec = pl.BlockSpec((1, 1, sq_pad, dh), lambda bi, hi, i: (bi, hi, 0, 0))

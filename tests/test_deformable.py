@@ -140,3 +140,35 @@ def test_factor_spatial_shape():
     assert factor_spatial_shape(257) == (1, 257)  # reference parity: prime
     assert factor_spatial_shape(12) == (3, 4)
     assert factor_spatial_shape(1369) == (37, 37)  # 518px grid
+
+
+def test_onehot_path_matches_gather_path(rng):
+    from dinov2_od_tpu.ops.deformable import bilinear_gather, bilinear_gather_onehot
+    import jax.numpy as jnp
+
+    b, q, h, w, nh, p, dh = 2, 6, 5, 7, 4, 2, 8
+    values = jnp.asarray(rng.normal(size=(b, h * w, nh, dh)).astype(np.float32))
+    loc_x = jnp.asarray(rng.uniform(-0.4, w - 0.5, size=(b, q, nh, p)).astype(np.float32))
+    loc_y = jnp.asarray(rng.uniform(-0.4, h - 0.5, size=(b, q, nh, p)).astype(np.float32))
+    a = np.asarray(bilinear_gather(values, loc_x, loc_y, (h, w)))
+    o = np.asarray(bilinear_gather_onehot(values, loc_x, loc_y, (h, w)))
+    np.testing.assert_allclose(o, a, rtol=1e-5, atol=1e-5)
+
+
+def test_onehot_path_exact_integer_locations(rng):
+    """Integer sampling locations clip both corners onto the same cell;
+    the one-hot path must accumulate them identically to the gather path."""
+    from dinov2_od_tpu.ops.deformable import bilinear_gather, bilinear_gather_onehot
+    import jax.numpy as jnp
+
+    b, q, h, w, nh, p, dh = 1, 3, 4, 4, 2, 2, 4
+    values = jnp.asarray(rng.normal(size=(b, h * w, nh, dh)).astype(np.float32))
+    loc_x = jnp.asarray(
+        rng.integers(0, w, size=(b, q, nh, p)).astype(np.float32)
+    )
+    loc_y = jnp.asarray(
+        rng.integers(0, h, size=(b, q, nh, p)).astype(np.float32)
+    )
+    a = np.asarray(bilinear_gather(values, loc_x, loc_y, (h, w)))
+    o = np.asarray(bilinear_gather_onehot(values, loc_x, loc_y, (h, w)))
+    np.testing.assert_allclose(o, a, rtol=1e-5, atol=1e-5)

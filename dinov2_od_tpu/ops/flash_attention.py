@@ -225,8 +225,18 @@ def _bwd_kernel_allheads(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _allheads_eligible(h: int, sq_pad: int, sk_pad: int) -> bool:
-    return h * sq_pad * sk_pad * 4 <= _LOGITS_VMEM_BUDGET
+def _head_group(h: int, sq_pad: int, sk_pad: int, n_buffers: int) -> int:
+    """Largest divisor of h whose n_buffers x [g, Sq, Sk] fp32 working set
+    fits the VMEM budget; 0 when even one head does not fit (use the
+    blocked path). The backward kernel keeps ~4 logits-sized live buffers
+    (s, p, dp, ds), the forward ~2 (s/p, exp)."""
+    per_head = sq_pad * sk_pad * 4 * n_buffers
+    if per_head > _LOGITS_VMEM_BUDGET:
+        return 0
+    g = min(h, _LOGITS_VMEM_BUDGET // per_head)
+    while h % g:
+        g -= 1
+    return g
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -248,13 +258,14 @@ def _flash_fwd(q, k, v, scale, block_q, interpret):
     sq_pad = _round_up(sq, block_q)
     qp, kp, vp = _pad_seq(q, sq_pad), _pad_seq(k, sk_pad), _pad_seq(v, sk_pad)
 
-    if _allheads_eligible(h, sq_pad, sk_pad):
-        spec = pl.BlockSpec((1, h, sq_pad, dh), lambda bi: (bi, 0, 0, 0))
-        kvspec = pl.BlockSpec((1, h, sk_pad, dh), lambda bi: (bi, 0, 0, 0))
-        lspec = pl.BlockSpec((1, h, sq_pad, 1), lambda bi: (bi, 0, 0, 0))
+    g_fwd = _head_group(h, sq_pad, sk_pad, n_buffers=2)
+    if g_fwd > 1 or (g_fwd == 1 and sq_pad == _round_up(sq, _SUBLANE)):
+        spec = pl.BlockSpec((1, g_fwd, sq_pad, dh), lambda bi, hi: (bi, hi, 0, 0))
+        kvspec = pl.BlockSpec((1, g_fwd, sk_pad, dh), lambda bi, hi: (bi, hi, 0, 0))
+        lspec = pl.BlockSpec((1, g_fwd, sq_pad, 1), lambda bi, hi: (bi, hi, 0, 0))
         out, lse = pl.pallas_call(
             functools.partial(_fwd_kernel_allheads, scale=scale, kv_len=sk),
-            grid=(b,),
+            grid=(b, h // g_fwd),
             in_specs=[spec, kvspec, kvspec],
             out_specs=[spec, lspec],
             out_shape=[
@@ -318,15 +329,16 @@ def _flash_bwd(scale, block_q, interpret, res, g):
     lsep = lse  # saved at padded length by the forward
     deltap = _pad_seq(delta, sq_pad)
 
-    if _allheads_eligible(h, sq_pad, sk_pad):
-        spec = pl.BlockSpec((1, h, sq_pad, dh), lambda bi: (bi, 0, 0, 0))
-        kvspec = pl.BlockSpec((1, h, sk_pad, dh), lambda bi: (bi, 0, 0, 0))
-        lspec = pl.BlockSpec((1, h, sq_pad, 1), lambda bi: (bi, 0, 0, 0))
+    g_bwd = _head_group(h, sq_pad, sk_pad, n_buffers=5)
+    if g_bwd >= 1 and sq_pad == _round_up(sq, _SUBLANE):
+        spec = pl.BlockSpec((1, g_bwd, sq_pad, dh), lambda bi, hi: (bi, hi, 0, 0))
+        kvspec = pl.BlockSpec((1, g_bwd, sk_pad, dh), lambda bi, hi: (bi, hi, 0, 0))
+        lspec = pl.BlockSpec((1, g_bwd, sq_pad, 1), lambda bi, hi: (bi, hi, 0, 0))
         dq, dk, dv = pl.pallas_call(
             functools.partial(
                 _bwd_kernel_allheads, scale=scale, kv_len=sk, q_len=sq
             ),
-            grid=(b,),
+            grid=(b, h // g_bwd),
             in_specs=[spec, kvspec, kvspec, spec, lspec, lspec],
             out_specs=[spec, kvspec, kvspec],
             out_shape=[

@@ -48,12 +48,15 @@ def _round_up(x: int, m: int) -> int:
 _LOGITS_VMEM_BUDGET = 8 * 2**20
 
 
-def _auto_block(s: int, other_pad: int) -> int:
-    """Largest block over `s` whose [block, other_pad] fp32 logits fit the
-    VMEM budget — single-block when possible (grid-launch overhead dominates
-    at ViT sequence lengths; measured on v5e: whole-seq blocks are ~25%%
-    faster than 256-blocks at 1370 tokens)."""
-    cap = _LOGITS_VMEM_BUDGET // (4 * other_pad)
+def _auto_block(s: int, other_pad: int, n_buffers: int = 2) -> int:
+    """Largest block over `s` whose n_buffers x [block, other_pad] fp32
+    working set fits the VMEM budget — single-block when possible
+    (grid-launch overhead dominates at ViT sequence lengths; measured on
+    v5e: whole-seq blocks are ~25% faster than 256-blocks at 1370 tokens).
+    The forward keeps ~2 logits-sized buffers live, the backward ~4."""
+    # 16MB scoped VMEM minus ~3MB for q/k/v/do slices and outputs.
+    budget = 13 * 2**20
+    cap = budget // (4 * other_pad * n_buffers)
     cap = max(_SUBLANE, (cap // _SUBLANE) * _SUBLANE)
     return min(_round_up(s, _SUBLANE), cap)
 
@@ -311,12 +314,12 @@ def _flash_bwd(scale, block_q, interpret, res, g):
     sk = k.shape[2]
     sk_pad0 = _round_up(sk, _SUBLANE)
     if block_q is None:
-        block_q = _auto_block(sq, sk_pad0)
+        block_q = _auto_block(sq, sk_pad0, n_buffers=4)
     elif sq <= block_q:
         block_q = _round_up(sq, _SUBLANE)
     sq_pad = _round_up(sq, block_q)
-    # dk/dv iterate over k blocks sized like the forward's q blocks.
-    block_k = _auto_block(sk, sq_pad)
+    # dk/dv iterate over k blocks; ~4 [sq_pad, block_k] buffers live.
+    block_k = _auto_block(sk, sq_pad, n_buffers=4)
     sk_pad = _round_up(sk, block_k)
 
     # delta = rowsum(dO * O), in fp32 (cheap; computed outside the kernel).

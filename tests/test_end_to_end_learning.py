@@ -68,10 +68,11 @@ def test_overfit_reaches_nontrivial_ap(tmp_path):
             return st
         return jax.lax.fori_loop(0, n, body, state)
 
-    _, first_metrics = step(state, batch, jax.random.key(3))
+    # step() donates its input state — thread the returned state through.
+    state, first_metrics = step(state, batch, jax.random.key(3))
     first_loss = float(first_metrics["loss"])
-    state = run_n(state, 400)
-    _, last_metrics = step(state, batch, jax.random.key(3))
+    state = run_n(state, 399)
+    state, last_metrics = step(state, batch, jax.random.key(3))
     last_loss = float(last_metrics["loss"])
     assert last_loss < 0.3 * first_loss, (first_loss, last_loss)
 

@@ -59,7 +59,15 @@ def main() -> int:
         f"facebook/dinov2-{model}", hidden_dim=768, image_size=image_size
     )
     det = dataclasses.replace(
-        det, backbone=dataclasses.replace(det.backbone, dtype="bfloat16")
+        det,
+        backbone=dataclasses.replace(
+            det.backbone,
+            dtype="bfloat16",
+            # Full depth unroll: the scan backward's dynamic-update-slice
+            # gradient stacking costs ~15ms/step at ViT-B batch 32
+            # (trace-verified); unrolled = 507 vs 407 img/s.
+            scan_unroll=0,
+        ),
     )
     cfg = TrainConfig(
         detector=det,

@@ -61,6 +61,10 @@ class BackboneConfig:
     dtype: str = "float32"  # compute dtype for activations
     # Explicit architecture overrides (None = use the variant table). Used
     # for custom/tiny architectures, e.g. importer parity tests.
+    # lax.scan unroll factor over depth. Full unroll removes the
+    # dynamic-update-slice gradient stacking the scan backward otherwise
+    # performs (measured ~15ms/step on ViT-B at batch 32).
+    scan_unroll: int = 1
     hidden_dim_override: Optional[int] = None
     depth_override: Optional[int] = None
     num_heads_override: Optional[int] = None

@@ -220,7 +220,9 @@ def decoder_apply(
             _layer_apply(c, memory, lp, cfg, spatial_shape, None, True),
             None,
         )
-    tgt, _ = jax.lax.scan(body_fn, tgt, xs)
+    # Fully unrolled: 2-6 layers; avoids the scan backward's
+    # dynamic-update-slice gradient stacking (trace-verified cost).
+    tgt, _ = jax.lax.scan(body_fn, tgt, xs, unroll=cfg.num_layers)
 
     logits = linear(tgt, params["class_embed"])
     h = jax.nn.relu(linear(tgt, params["bbox_mlp"]["fc1"]))

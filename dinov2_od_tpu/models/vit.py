@@ -212,7 +212,8 @@ def backbone_apply(
     )
     if use_remat:
         block_fn = jax.checkpoint(block_fn)
-    x, _ = jax.lax.scan(block_fn, x, params["blocks"])
+    unroll = cfg.scan_unroll if cfg.scan_unroll > 0 else cfg.depth
+    x, _ = jax.lax.scan(block_fn, x, params["blocks"], unroll=unroll)
 
     x = layer_norm(x, params["ln_f"])
 

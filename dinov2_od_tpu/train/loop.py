@@ -223,7 +223,16 @@ def run_training(
         loader.set_epoch(epoch)
         epoch_losses = []
         t_epoch = time.time()
-        for i, batch in enumerate(loader):
+        try:
+            from tqdm import tqdm
+
+            batches = tqdm(
+                loader, total=len(loader),
+                desc=f"Epoch {epoch}/{num_epochs - 1}", leave=False,
+            )
+        except ImportError:  # pragma: no cover
+            batches = loader
+        for i, batch in enumerate(batches):
             batch_dev = {
                 k: jax.device_put(jnp.asarray(v), bsharding)
                 for k, v in batch.items()
@@ -248,6 +257,14 @@ def run_training(
                     global_step,
                     prefix="train/",
                 )
+                if hasattr(batches, "set_postfix"):
+                    # Live per-loss postfix (reference train.py:1161-1165).
+                    batches.set_postfix(
+                        loss=f"{loss:.3f}",
+                        ce=f"{float(metrics['loss_ce']):.3f}",
+                        bbox=f"{float(metrics['loss_bbox']):.3f}",
+                        giou=f"{float(metrics['loss_giou']):.3f}",
+                    )
                 if memory_monitor:
                     logger.info("memory:\n%s", format_memory_stats())
             if (

@@ -190,15 +190,19 @@ def backbone_apply(
     dtype = jnp.dtype(cfg.dtype)
     x = pixel_values.astype(dtype)
 
-    x = jax.lax.conv_general_dilated(
-        x,
-        params["patch_embed"]["kernel"].astype(dtype),
-        window_strides=(cfg.patch_size, cfg.patch_size),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ) + params["patch_embed"]["bias"].astype(dtype)
-    b = x.shape[0]
-    x = x.reshape(b, -1, cfg.hidden_dim)
+    # Patchify as reshape + GEMM: with stride == kernel size the conv is an
+    # exact non-overlapping patch matmul, and XLA's conv lowering for
+    # 14x14/s14 measures ~7x slower than the plain GEMM on v5e (trace:
+    # convolution_add_fusion 7.3ms/step at ViT-B batch 32).
+    b, hh, ww, c = x.shape
+    p = cfg.patch_size
+    gh, gw = hh // p, ww // p
+    x = x.reshape(b, gh, p, gw, p, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, gh * gw, p * p * c)
+    kernel = params["patch_embed"]["kernel"].astype(dtype).reshape(
+        p * p * c, cfg.hidden_dim
+    )
+    x = x @ kernel + params["patch_embed"]["bias"].astype(dtype)
 
     cls = jnp.broadcast_to(
         params["cls_token"].astype(dtype), (b, 1, cfg.hidden_dim)

@@ -131,3 +131,28 @@ def test_only_evaluate_testdev_with_test_mini(synth, tmp_path):
     assert rc == 0
     assert os.path.exists(os.path.join(out, "testdev_predictions.json"))
     assert os.path.exists(os.path.join(out, "test_mini_indices.json"))
+
+
+def test_coco_mini_indices_saved_and_reloaded(synth, tmp_path):
+    """--use_coco_mini trains on a seeded subset, persists the indices
+    JSON, and --coco_mini_indices_file reproduces the exact subset
+    (reference train.py:86-216)."""
+    images_dir, ann_file = synth
+    out = str(tmp_path / "mini1")
+    args = [
+        "--train_images", images_dir, "--train_annotations", ann_file,
+        "--lightweight", "--image_size", "56", "--batch_size", "4",
+        "--num_classes", "6", "--num_epochs", "1", "--val_frequency", "100",
+        "--use_coco_mini", "--coco_mini_size", "8", "--coco_mini_seed", "7",
+    ]
+    assert main(args + ["--output_dir", out]) == 0
+    idx_file = os.path.join(out, "coco_mini_indices_8_7.json")
+    assert os.path.exists(idx_file)
+    with open(idx_file) as f:
+        saved = json.load(f)
+    assert len(saved["indices"]) == 8
+
+    out2 = str(tmp_path / "mini2")
+    assert main(args + [
+        "--output_dir", out2, "--coco_mini_indices_file", idx_file,
+    ]) == 0

@@ -9,7 +9,7 @@ functions.
 from __future__ import annotations
 
 import dataclasses
-from typing import Mapping, Optional, Tuple
+from typing import Optional
 
 
 # ---------------------------------------------------------------------------

@@ -18,7 +18,6 @@ TPU-minded serving details:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, List, Optional, Sequence, Union
 
 import jax

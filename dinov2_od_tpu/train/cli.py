@@ -18,12 +18,9 @@ from __future__ import annotations
 
 import argparse
 import json
-import logging
 import os
 import sys
 from typing import List, Optional
-
-import numpy as np
 
 from .. import config as C
 
@@ -163,7 +160,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         run_training,
         validate,
     )
-    from .state import create_train_state, make_optimizer
+    from .state import make_optimizer
     from .step import make_eval_step
 
     os.makedirs(args.output_dir, exist_ok=True)

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import TrainConfig
-from ..data.coco import CocoDetectionDataset, CocoTestDataset
+from ..data.coco import CocoDetectionDataset
 from ..data.loader import DataLoader, pad_batch
 from ..evaluation.coco_metrics import compute_coco_metrics
 from ..evaluation.postprocess import postprocess_detections

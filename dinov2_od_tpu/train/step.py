@@ -12,14 +12,13 @@ of `jnp.sum` over the global batch.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from ..config import LossConfig, MatcherConfig, TrainConfig
+from ..config import TrainConfig
 from ..models.detector import detector_apply
 from ..ops.losses import set_criterion
 from .state import TrainState, mask_gradients, stop_gradient_frozen

@@ -65,6 +65,10 @@ class BackboneConfig:
     # dynamic-update-slice gradient stacking the scan backward otherwise
     # performs (measured ~15ms/step on ViT-B at batch 32).
     scan_unroll: int = 1
+    # 'factored': base GEMM + rank-r LoRA matmuls (cheapest backward for
+    # frozen bases). 'fold': W_eff = W + alpha*A@B materialized per step,
+    # one GEMM per linear (fewer skinny matmuls; backward computes dW_eff).
+    lora_mode: str = "factored"
     hidden_dim_override: Optional[int] = None
     depth_override: Optional[int] = None
     num_heads_override: Optional[int] = None

@@ -93,22 +93,33 @@ def init_backbone_params(rng: jax.Array, cfg: BackboneConfig) -> Params:
     return params
 
 
+def _eff_kernel(p: Params, alpha: float, dtype, mode: str):
+    """Effective weight: folded (W + alpha*A@B, one GEMM downstream) or the
+    raw base kernel (caller adds the factored rank-r path)."""
+    w = p["kernel"]
+    if mode == "fold" and "lora_A" in p:
+        w = w + alpha * (p["lora_A"] @ p["lora_B"])
+    return w.astype(dtype)
+
+
 def _attention(x: jnp.ndarray, bp: Params, cfg: BackboneConfig, attn_impl: str):
     b, n, d = x.shape
     h = cfg.num_heads
     dh = d // h
     alpha = cfg.lora_alpha
+    mode = cfg.lora_mode
 
     # One fused [D, 3D] GEMM for q/k/v (the concat is a cheap on-chip copy;
     # three separate skinny GEMMs measurably underutilize the MXU).
     w_qkv = jnp.concatenate(
-        [bp["q"]["kernel"], bp["k"]["kernel"], bp["v"]["kernel"]], axis=1
-    ).astype(x.dtype)
+        [_eff_kernel(bp[p], alpha, x.dtype, mode) for p in ("q", "k", "v")],
+        axis=1,
+    )
     b_qkv = jnp.concatenate(
         [bp["q"]["bias"], bp["k"]["bias"], bp["v"]["bias"]]
     ).astype(x.dtype)
     qkv = x @ w_qkv + b_qkv
-    if "lora_A" in bp["q"]:
+    if mode != "fold" and "lora_A" in bp["q"]:
         # Fused LoRA: x @ [A_q|A_k|A_v] then block-diagonal B per part.
         a_qkv = jnp.concatenate(
             [bp["q"]["lora_A"], bp["k"]["lora_A"], bp["v"]["lora_A"]], axis=1
@@ -125,18 +136,24 @@ def _attention(x: jnp.ndarray, bp: Params, cfg: BackboneConfig, attn_impl: str):
     k = k.reshape(b, n, h, dh)
     v = v.reshape(b, n, h, dh)
     out = multi_head_attention(q, k, v, impl=attn_impl).reshape(b, n, d)
-    return lora_linear(out, bp["proj"], alpha)
+    return _maybe_lora(out, bp["proj"], cfg)
+
+
+def _maybe_lora(x: jnp.ndarray, p: Params, cfg: BackboneConfig) -> jnp.ndarray:
+    if cfg.lora_mode == "fold" and "lora_A" in p:
+        w = _eff_kernel(p, cfg.lora_alpha, x.dtype, "fold")
+        return x @ w + p["bias"].astype(x.dtype)
+    return lora_linear(x, p, cfg.lora_alpha)
 
 
 def _ffn(x: jnp.ndarray, bp: Params, cfg: BackboneConfig):
-    alpha = cfg.lora_alpha
-    h = lora_linear(x, bp["fc1"], alpha)
+    h = _maybe_lora(x, bp["fc1"], cfg)
     if cfg.ffn_type == "swiglu":
         x1, x2 = jnp.split(h, 2, axis=-1)
         h = jax.nn.silu(x1) * x2
     else:
         h = jax.nn.gelu(h, approximate=False)
-    return lora_linear(h, bp["fc2"], alpha)
+    return _maybe_lora(h, bp["fc2"], cfg)
 
 
 def _block_apply(x: jnp.ndarray, bp: Params, cfg: BackboneConfig, attn_impl: str):

@@ -210,3 +210,26 @@ def test_fold_lora_preserves_forward():
         np.asarray(folded_params["backbone"]["blocks"]["q"]["kernel"])
         - np.asarray(params["backbone"]["blocks"]["q"]["kernel"])
     ).max() > 1e-4
+
+
+def test_lora_mode_fold_matches_factored():
+    """lora_mode='fold' computes the same function as 'factored'."""
+    import dataclasses
+    cfg = _tiny_detector()
+    params = init_detector_params(jax.random.key(0), cfg)
+    params["backbone"]["blocks"]["v"]["lora_B"] = (
+        params["backbone"]["blocks"]["v"]["lora_B"] + 0.05
+    )
+    params["backbone"]["blocks"]["fc1"]["lora_B"] = (
+        params["backbone"]["blocks"]["fc1"]["lora_B"] - 0.04
+    )
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(2, 56, 56, 3)), jnp.float32)
+    a = detector_apply(params, cfg, x)
+    cfg_fold = dataclasses.replace(
+        cfg, backbone=dataclasses.replace(cfg.backbone, lora_mode="fold")
+    )
+    b = detector_apply(params, cfg_fold, x)
+    np.testing.assert_allclose(
+        np.asarray(a["pred_logits"]), np.asarray(b["pred_logits"]),
+        rtol=2e-4, atol=2e-5,
+    )

@@ -56,8 +56,9 @@ def multi_head_attention(
 def _pallas_eligible(q, k) -> bool:
     if jax.default_backend() != "tpu":
         return False
-    # Measured on v5e (see bench.py): below ~512 keys XLA's fused batched
-    # GEMM wins (the Pallas grid is launch-bound at ViT@224's 257 tokens);
-    # above it the [S, S] logits stop fitting in on-chip working sets and
-    # the flash kernel wins (1.8x at 1370 tokens / ViT-L@518).
-    return q.shape[-1] % 64 == 0 and k.shape[1] >= 512
+    # Measured on v5e: at >=512 keys the blocked flash kernel wins 2.1x
+    # (XLA spills [S, S] logits to HBM). At ViT@224's 257 tokens the
+    # head-grouped kernel variant ties XLA in isolation but wins ~7% on
+    # the full train step (564 vs 526 img/s) by keeping fp32 logits in
+    # VMEM. Below ~192 keys (decoder-sized) XLA's fused GEMM wins.
+    return q.shape[-1] % 64 == 0 and k.shape[1] >= 192

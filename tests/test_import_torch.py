@@ -110,3 +110,40 @@ def test_pos_embed_interpolation_on_resolution_change(rng):
         params, jcfg, jnp.zeros((1, 112, 112, 3)), attn_impl="xla"
     )
     assert out.shape == (1, 65, 32)
+
+
+def test_swiglu_backbone_matches_torch_forward(rng):
+    """ViT-giant style SwiGLU FFN path vs transformers' Dinov2SwiGLUFFN."""
+    from transformers import Dinov2Config, Dinov2Model
+
+    hidden, layers, heads = 64, 2, 2
+    tcfg = Dinov2Config(
+        hidden_size=hidden, num_hidden_layers=layers,
+        num_attention_heads=heads, mlp_ratio=4, use_swiglu_ffn=True,
+        image_size=56, patch_size=14, layerscale_value=1.0,
+    )
+    tmodel = Dinov2Model(tcfg).eval()
+
+    # HF SwiGLU hidden = round8(hidden * mlp_ratio * 2/3) = 176 for 64*4;
+    # expressed here as mlp_ratio_override = 176/64.
+    jcfg = BackboneConfig(
+        variant="giant", image_size=56, patch_size=14, lora_r=1,
+        drop_cls_token=False, hidden_dim_override=hidden,
+        depth_override=layers, num_heads_override=heads,
+        mlp_ratio_override=176 / 64, ffn_type_override="swiglu",
+    )
+    assert jcfg.mlp_dim == 176
+    template = init_backbone_params(jax.random.key(0), jcfg)
+    params = load_dinov2_backbone_params(
+        {k: v for k, v in tmodel.state_dict().items()}, jcfg, template
+    )
+
+    x = rng.normal(size=(2, 56, 56, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(
+            torch.from_numpy(x.transpose(0, 3, 1, 2))
+        ).last_hidden_state.numpy()
+    ours = np.asarray(
+        backbone_apply(params, jcfg, jnp.asarray(x), attn_impl="xla")
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)

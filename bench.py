@@ -76,7 +76,12 @@ def main() -> int:
         use_remat=os.environ.get("BENCH_REMAT", "0") == "1",
     )
 
+    from dinov2_od_tpu.models.detector import cast_frozen_weights
+
     params = init_detector_params(jax.random.key(0), det)
+    # Numerically identical (forward casts to bf16 anyway); kills per-step
+    # weight conversions + halves frozen-weight HBM reads.
+    params = cast_frozen_weights(params, det)
     tx = make_optimizer(cfg.optim, det, params)
     state = create_train_state(params, cfg.optim, det)
     step = make_train_step(cfg, tx)

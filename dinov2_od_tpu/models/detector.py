@@ -142,6 +142,34 @@ def fold_detector_lora(params: Params, cfg: DetectorConfig) -> Params:
     return {**params, "backbone": backbone}
 
 
+def cast_frozen_weights(params: Params, cfg: DetectorConfig,
+                        dtype=jnp.bfloat16) -> Params:
+    """Store the frozen backbone GEMM weights in the compute dtype.
+
+    The forward casts weights to the activation dtype anyway, so this is
+    numerically identical — it just removes the per-step fp32->bf16
+    conversions and halves the frozen weights' HBM traffic. Trainable
+    leaves (LoRA, projection, decoder) and the tiny LayerNorm/LayerScale
+    vectors stay fp32 (optimizer precision / fp32 LN statistics).
+    """
+    backbone = dict(params["backbone"])
+    blocks = {k: (dict(v) if isinstance(v, dict) else v)
+              for k, v in backbone["blocks"].items()}
+    for lin in ("q", "k", "v", "proj", "fc1", "fc2"):
+        bp = dict(blocks[lin])
+        bp["kernel"] = bp["kernel"].astype(dtype)
+        bp["bias"] = bp["bias"].astype(dtype)
+        blocks[lin] = bp
+    backbone["blocks"] = blocks
+    backbone["patch_embed"] = {
+        "kernel": backbone["patch_embed"]["kernel"].astype(dtype),
+        "bias": backbone["patch_embed"]["bias"].astype(dtype),
+    }
+    backbone["cls_token"] = backbone["cls_token"].astype(dtype)
+    backbone["pos_embed"] = backbone["pos_embed"].astype(dtype)
+    return {**params, "backbone": backbone}
+
+
 def count_params(params: Params) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(params))
 

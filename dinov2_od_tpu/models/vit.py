@@ -233,8 +233,31 @@ def backbone_apply(
     )
     if use_remat:
         block_fn = jax.checkpoint(block_fn)
-    unroll = cfg.scan_unroll if cfg.scan_unroll > 0 else cfg.depth
-    x, _ = jax.lax.scan(block_fn, x, params["blocks"], unroll=unroll)
+
+    def run_blocks(x, blocks, length):
+        unroll = min(cfg.scan_unroll, length) if cfg.scan_unroll > 0 else length
+        x, _ = jax.lax.scan(block_fn, x, blocks, unroll=unroll)
+        return x
+
+    # Split the depth scan at the LoRA boundary: blocks below the last
+    # `lora_last_n_blocks` have NO trainable parameters (base weights are
+    # frozen, their LoRA factors never receive updates — the reference only
+    # adapts the last N blocks, dinov2_backbone.py:45-51), so their entire
+    # subtree is stop-gradiented. JAX then emits no backward ops for the
+    # prefix at trace time — the cotangent chain starts at the first adapted
+    # block, exactly like torch autograd with requires_grad=False — which
+    # removes ~(depth-N)/depth of the backbone backward GEMMs, attention
+    # backward, and (under remat) forward recomputation.
+    k = max(0, cfg.depth - cfg.lora_last_n_blocks)
+    if 0 < k < cfg.depth:
+        prefix = jax.tree_util.tree_map(
+            lambda a: jax.lax.stop_gradient(a[:k]), params["blocks"]
+        )
+        suffix = jax.tree_util.tree_map(lambda a: a[k:], params["blocks"])
+        x = run_blocks(x, prefix, k)
+        x = run_blocks(x, suffix, cfg.depth - k)
+    else:
+        x = run_blocks(x, params["blocks"], cfg.depth)
 
     x = layer_norm(x, params["ln_f"])
 

@@ -68,6 +68,12 @@ def make_train_step(cfg: TrainConfig, tx: optax.GradientTransformation):
         )
         grads = mask_gradients(grads, state.params, det_cfg)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        # Re-mask the *updates*: weight decay (add_decayed_weights) re-adds
+        # a -lr*wd*param term even where the gradient was zeroed, which
+        # would slowly decay non-adapted blocks' LoRA factors. The
+        # reference's optimizer never sees those params (requires_grad
+        # gating, train.py:1000-1004).
+        updates = mask_gradients(updates, state.params, det_cfg)
         params = optax.apply_updates(state.params, updates)
 
         metrics = {k: v for k, v in losses.items()}

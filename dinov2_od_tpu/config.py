@@ -69,6 +69,11 @@ class BackboneConfig:
     # frozen bases). 'fold': W_eff = W + alpha*A@B materialized per step,
     # one GEMM per linear (fewer skinny matmuls; backward computes dW_eff).
     lora_mode: str = "factored"
+    # tanh-approximate GELU: 7x faster on the TPU VPU than the exact erf
+    # form (0.056 vs 0.393 ms on [32,257,3072]) with max abs deviation
+    # 5e-4 — an order of magnitude below bf16 resolution. Set False for
+    # bit-level parity runs against torch's exact nn.GELU (HF Dinov2).
+    gelu_approximate: bool = True
     hidden_dim_override: Optional[int] = None
     depth_override: Optional[int] = None
     num_heads_override: Optional[int] = None

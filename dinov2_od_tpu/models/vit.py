@@ -152,7 +152,7 @@ def _ffn(x: jnp.ndarray, bp: Params, cfg: BackboneConfig):
         x1, x2 = jnp.split(h, 2, axis=-1)
         h = jax.nn.silu(x1) * x2
     else:
-        h = jax.nn.gelu(h, approximate=False)
+        h = jax.nn.gelu(h, approximate=cfg.gelu_approximate)
     return _maybe_lora(h, bp["fc2"], cfg)
 
 

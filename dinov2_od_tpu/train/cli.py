@@ -140,6 +140,15 @@ def build_detector_config(args) -> C.DetectorConfig:
             n_points=args.n_points,
             image_size=args.image_size,
         )
+    if args.parity_mode:
+        # Exact erf GELU (torch nn.GELU) for AP-parity runs; the default
+        # tanh approximation deviates by <=5e-4 per activation.
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            backbone=dataclasses.replace(cfg.backbone, gelu_approximate=False),
+        )
     return cfg
 
 

@@ -60,6 +60,9 @@ def _our_config(use_deformable):
             variant="small", image_size=56, patch_size=14, lora_r=2,
             lora_alpha=1.0, target_dim=32, drop_cls_token=False,
             depth_override=3, mlp_ratio_override=4.0,
+            # Exact erf GELU: this parity test compares against torch's
+            # nn.GELU at 5e-4 tolerance.
+            gelu_approximate=False,
         ),
         decoder=DecoderConfig(
             hidden_dim=32, num_queries=6, num_layers=2, num_heads=4,

@@ -41,6 +41,8 @@ def _tiny_pair(image_size=56, hidden=64, layers=2, heads=2):
         depth_override=layers,
         num_heads_override=heads,
         mlp_ratio_override=4.0,
+        # Exact erf GELU to match torch's nn.GELU at 1e-4 tolerance.
+        gelu_approximate=False,
     )
     template = init_backbone_params(jax.random.key(0), jcfg)
     params = load_dinov2_backbone_params(

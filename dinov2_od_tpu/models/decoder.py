@@ -113,7 +113,14 @@ def _self_attention_block(
     qh = linear(tgt, p["q"]).reshape(b, q, num_heads, dh)
     kh = linear(tgt, p["k"]).reshape(b, q, num_heads, dh)
     vh = linear(tgt, p["v"]).reshape(b, q, num_heads, dh)
-    out = multi_head_attention(qh, kh, vh, impl="xla").reshape(b, q, d)
+    # Attention-probability dropout in train mode, matching the reference's
+    # nn.MultiheadAttention(d_model, n_heads, dropout=dropout)
+    # (deformable_attention.py:195).
+    attn_rng = None if (deterministic or drop_rate == 0.0) else rng
+    out = multi_head_attention(
+        qh, kh, vh, impl="xla",
+        dropout_rate=drop_rate, dropout_rng=attn_rng,
+    ).reshape(b, q, d)
     return linear(out, p["out"])
 
 
@@ -145,13 +152,14 @@ def _layer_apply(
     """One decoder layer, post-norm (reference: deformable_attention.py:
     215-268 / torch TransformerDecoderLayer)."""
     rngs = (
-        jax.random.split(rng, 4) if rng is not None else [None] * 4
+        jax.random.split(rng, 5) if rng is not None else [None] * 5
     )
     dr = cfg.dropout
 
-    # Self-attention over queries.
+    # Self-attention over queries (rngs[4] drops attention probabilities,
+    # rngs[0] the residual branch — independent masks).
     sa = _self_attention_block(
-        tgt, lp["self_attn"], cfg.num_heads, dr, rngs[0], deterministic
+        tgt, lp["self_attn"], cfg.num_heads, dr, rngs[4], deterministic
     )
     tgt = layer_norm(tgt + dropout(sa, dr, rngs[0], deterministic), lp["ln1"], eps=1e-5)
 

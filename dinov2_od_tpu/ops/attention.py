@@ -20,9 +20,16 @@ import jax
 import jax.numpy as jnp
 
 
-def _xla_attention(q, k, v, scale):
+def _xla_attention(q, k, v, scale, dropout_rate=0.0, dropout_rng=None):
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
     weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        # torch nn.MultiheadAttention semantics: drop attention
+        # *probabilities* after softmax, rescaled by 1/keep, without
+        # renormalizing rows (deformable_attention.py:195).
+        keep = 1.0 - dropout_rate
+        mask = jax.random.bernoulli(dropout_rng, keep, weights.shape)
+        weights = jnp.where(mask, weights / keep, 0.0).astype(q.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
 
@@ -32,6 +39,8 @@ def multi_head_attention(
     v: jnp.ndarray,
     *,
     impl: str = "auto",
+    dropout_rate: float = 0.0,
+    dropout_rng: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Scaled dot-product attention over heads.
 
@@ -39,18 +48,27 @@ def multi_head_attention(
       q: [B, Sq, H, Dh]
       k, v: [B, Sk, H, Dh]
       impl: 'xla' | 'pallas' | 'auto'.
+      dropout_rate / dropout_rng: attention-probability dropout (applied
+        after softmax, torch nn.MultiheadAttention style). Only active when
+        both are set; forces the XLA path since the fused Pallas kernel
+        never materializes the probabilities.
 
     Returns:
       [B, Sq, H, Dh]
     """
     scale = 1.0 / (q.shape[-1] ** 0.5)
+    use_dropout = dropout_rate > 0.0 and dropout_rng is not None
     if impl == "auto":
-        impl = "pallas" if _pallas_eligible(q, k) else "xla"
-    if impl == "pallas":
+        impl = "pallas" if (_pallas_eligible(q, k) and not use_dropout) else "xla"
+    if impl == "pallas" and not use_dropout:
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)
-    return _xla_attention(q, k, v, scale)
+    return _xla_attention(
+        q, k, v, scale,
+        dropout_rate=dropout_rate if use_dropout else 0.0,
+        dropout_rng=dropout_rng if use_dropout else None,
+    )
 
 
 def _pallas_eligible(q, k) -> bool:

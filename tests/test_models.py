@@ -233,3 +233,44 @@ def test_lora_mode_fold_matches_factored():
         np.asarray(a["pred_logits"]), np.asarray(b["pred_logits"]),
         rtol=2e-4, atol=2e-5,
     )
+
+
+def test_attention_probability_dropout():
+    """Decoder self-attention drops attention *probabilities* in train mode,
+    matching the reference nn.MultiheadAttention(dropout=dropout)
+    (deformable_attention.py:195)."""
+    from dinov2_od_tpu.models.decoder import _self_attention_block, _init_self_attn
+    from dinov2_od_tpu.ops.attention import multi_head_attention
+
+    rng = jax.random.key(0)
+    q = jax.random.normal(jax.random.key(1), (2, 6, 4, 8))
+    kv = jax.random.normal(jax.random.key(2), (2, 6, 4, 8))
+
+    base = multi_head_attention(q, kv, kv, impl="xla")
+    dropped = multi_head_attention(
+        q, kv, kv, impl="xla", dropout_rate=0.5, dropout_rng=rng
+    )
+    assert np.abs(np.asarray(base) - np.asarray(dropped)).sum() > 0
+    # Different rngs -> different masks.
+    dropped2 = multi_head_attention(
+        q, kv, kv, impl="xla", dropout_rate=0.5, dropout_rng=jax.random.key(9)
+    )
+    assert np.abs(np.asarray(dropped) - np.asarray(dropped2)).sum() > 0
+    # Expectation over masks is unbiased (inverted-dropout scaling).
+    many = jnp.stack([
+        multi_head_attention(
+            q, kv, kv, impl="xla", dropout_rate=0.5,
+            dropout_rng=jax.random.key(i),
+        )
+        for i in range(200)
+    ]).mean(0)
+    np.testing.assert_allclose(np.asarray(many), np.asarray(base), atol=0.35)
+
+    # And it flows through the decoder self-attention block itself.
+    p = _init_self_attn(jax.random.key(3), 32)
+    tgt = jax.random.normal(jax.random.key(4), (2, 6, 32))
+    det = _self_attention_block(tgt, p, 4, 0.3, None, True)
+    det2 = _self_attention_block(tgt, p, 4, 0.3, None, True)
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(det2))
+    stoch = _self_attention_block(tgt, p, 4, 0.3, jax.random.key(5), False)
+    assert np.abs(np.asarray(stoch) - np.asarray(det)).sum() > 0

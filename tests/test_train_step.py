@@ -147,11 +147,13 @@ def test_dp_sharded_step_matches_single_device():
     np.testing.assert_allclose(
         float(ma["loss"]), float(mb["loss"]), rtol=2e-4
     )
-    # Updated params agree.
+    # Updated params agree. atol covers fp32 reduction-order noise on
+    # ~1e-6-scale deltas (8-way psum vs single-device sum); dropout masks
+    # themselves are sharding-invariant (threefry_partitionable).
     la = jax.tree_util.tree_leaves(state_a.params)
     lb = jax.tree_util.tree_leaves(state_b.params)
     for a, b in zip(la, lb):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=3e-5)
 
 
 def test_dp_tp_sharded_step_matches_single_device():

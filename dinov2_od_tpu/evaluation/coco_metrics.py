@@ -65,6 +65,46 @@ def bbox_iou_xywh(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.nda
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
+def _greedy_match_from_ious(ious, dt_areas, gt_ig, gt_crowd, area_rng):
+    """Greedy per-detection matching given a precomputed IoU table.
+
+    `ious` columns must already be in sorted-GT order (non-ignored first);
+    `gt_ig`/`gt_crowd` likewise. Pure-python reference for the C++ kernels.
+    Returns (dtm [T, n_dt] matched-gt-index+1, dt_ignore [T, n_dt] bool).
+    """
+    t_count = len(IOU_THRS)
+    n_d, n_g = ious.shape
+    dtm = np.zeros((t_count, n_d), dtype=np.int64)
+    gtm = np.zeros((t_count, n_g), dtype=np.int64)
+    dt_ig = np.zeros((t_count, n_d), dtype=bool)
+
+    for ti, thr in enumerate(IOU_THRS):
+        for di in range(n_d):
+            best_iou = min(thr, 1 - 1e-10)
+            m = -1
+            for gi in range(n_g):
+                if gtm[ti, gi] > 0 and not gt_crowd[gi]:
+                    continue
+                # Non-ignored candidates exhausted once we reach ignored GT
+                # while already holding a non-ignored match.
+                if m > -1 and not gt_ig[m] and gt_ig[gi]:
+                    break
+                if ious[di, gi] < best_iou:
+                    continue
+                best_iou = ious[di, gi]
+                m = gi
+            if m == -1:
+                continue
+            dt_ig[ti, di] = gt_ig[m]
+            dtm[ti, di] = m + 1
+            gtm[ti, m] = di + 1
+
+    # Unmatched detections outside the area range are ignored.
+    out_of_rng = (dt_areas < area_rng[0]) | (dt_areas > area_rng[1])
+    dt_ig = dt_ig | ((dtm == 0) & out_of_rng[None, :])
+    return dtm, dt_ig
+
+
 def _match_image_category(
     dt_boxes, dt_scores, gt_boxes, gt_ignore, gt_iscrowd, area_rng, max_det,
     use_native: bool = True,
@@ -74,9 +114,8 @@ def _match_image_category(
     Returns dict with per-threshold detection matches/ignores and the
     number of non-ignored GT. The O(thr * dt * gt) inner loop dispatches to
     the C++ kernel (native/coco_eval.cc) when built; the numpy/Python loop
-    below is the reference implementation and fallback.
+    in _greedy_match_from_ious is the reference implementation and fallback.
     """
-    t_count = len(IOU_THRS)
     # GT order: non-ignored first (pycocotools sorts by _ignore).
     g_order = np.argsort(gt_ignore, kind="stable")
     gt_boxes = gt_boxes[g_order]
@@ -103,38 +142,8 @@ def _match_image_category(
             }
 
     ious = bbox_iou_xywh(dt_boxes_s, gt_boxes, gt_crowd)
-
-    n_d, n_g = len(dt_boxes_s), len(gt_boxes)
-    dtm = np.zeros((t_count, n_d), dtype=np.int64)  # matched gt index + 1
-    gtm = np.zeros((t_count, n_g), dtype=np.int64)
-    dt_ig = np.zeros((t_count, n_d), dtype=bool)
-
-    for ti, thr in enumerate(IOU_THRS):
-        for di in range(n_d):
-            best_iou = min(thr, 1 - 1e-10)
-            m = -1
-            for gi in range(n_g):
-                if gtm[ti, gi] > 0 and not gt_crowd[gi]:
-                    continue
-                # Non-ignored candidates exhausted once we reach ignored GT
-                # while already holding a non-ignored match.
-                if m > -1 and not gt_ig[m] and gt_ig[gi]:
-                    break
-                if ious[di, gi] < best_iou:
-                    continue
-                best_iou = ious[di, gi]
-                m = gi
-            if m == -1:
-                continue
-            dt_ig[ti, di] = gt_ig[m]
-            dtm[ti, di] = m + 1
-            gtm[ti, m] = di + 1
-
-    # Unmatched detections outside the area range are ignored.
     d_areas = dt_boxes_s[:, 2] * dt_boxes_s[:, 3]
-    out_of_rng = (d_areas < area_rng[0]) | (d_areas > area_rng[1])
-    dt_ig = dt_ig | ((dtm == 0) & out_of_rng[None, :])
-
+    dtm, dt_ig = _greedy_match_from_ious(ious, d_areas, gt_ig, gt_crowd, area_rng)
     return {
         "dt_scores": dt_scores_s,
         "dtm": dtm,
@@ -144,22 +153,134 @@ def _match_image_category(
 
 
 class CocoEvaluator:
-    """COCO bbox evaluation against a ground-truth annotation file."""
+    """COCO bbox evaluation against a ground-truth annotation file.
+
+    Structured like pycocotools COCOeval at COCO scale: GT arrays are
+    prepared once in __init__; per category, detections for all images go
+    through ONE batched matching pass (C++ kernel when built, numpy
+    fallback otherwise) that computes each (image, category) IoU table
+    once and reuses it across all 4 area ranges; the 3 maxDets are handled
+    in accumulate by per-image column truncation. A naive
+    (area x maxDet x image) loop re-does the IoU+matching work 12x — on
+    val5k that is the difference between seconds and many minutes.
+    """
 
     def __init__(self, annotation_file: str):
         with open(annotation_file) as f:
             gt = json.load(f)
         self.cat_ids = [c["id"] for c in gt.get("categories", [])]
         self.img_ids = [im["id"] for im in gt.get("images", [])]
-        self._gt_by_img_cat = defaultdict(list)
+        by_img_cat = defaultdict(list)
         for ann in gt.get("annotations", []):
             if "bbox" not in ann:
                 continue
-            self._gt_by_img_cat[(ann["image_id"], ann["category_id"])].append(ann)
+            by_img_cat[(ann["image_id"], ann["category_id"])].append(ann)
+        # Prepared per-(img, cat) GT arrays: (boxes [N,4], crowd [N], area [N]).
+        self._gt_by_img_cat = {}
+        for key, anns in by_img_cat.items():
+            self._gt_by_img_cat[key] = (
+                np.asarray([a["bbox"] for a in anns], np.float64).reshape(-1, 4),
+                np.asarray([a.get("iscrowd", 0) for a in anns], np.int32),
+                np.asarray(
+                    [a.get("area", a["bbox"][2] * a["bbox"][3]) for a in anns],
+                    np.float64,
+                ),
+            )
+
+    _EMPTY_GT = (
+        np.zeros((0, 4), np.float64),
+        np.zeros(0, np.int32),
+        np.zeros(0, np.float64),
+    )
+
+    def _match_category(self, cat_id, dt_by_img_cat, use_native):
+        """Match every image of one category across all area ranges.
+
+        Returns None if the category has no GT and no detections, else
+        (dt_scores [N] concatenated in img_ids order, score-desc per image,
+         dt_rank [N] within-image rank,
+         dtm [n_area, n_thr, N], dt_ig [n_area, n_thr, N],
+         num_gt [n_area]).
+        """
+        md_cap = MAX_DETS[-1]
+        imgs = [
+            i for i in self.img_ids
+            if (i, cat_id) in self._gt_by_img_cat or (i, cat_id) in dt_by_img_cat
+        ]
+        if not imgs:
+            return None
+
+        dt_boxes_l, dt_scores_l, gt_parts = [], [], []
+        for img_id in imgs:
+            dts = dt_by_img_cat.get((img_id, cat_id), [])
+            boxes = np.asarray([d["bbox"] for d in dts], np.float64).reshape(-1, 4)
+            scores = np.asarray([d["score"] for d in dts], np.float64)
+            order = np.argsort(-scores, kind="stable")[:md_cap]
+            dt_boxes_l.append(boxes[order])
+            dt_scores_l.append(scores[order])
+            gt_parts.append(self._gt_by_img_cat.get((img_id, cat_id), self._EMPTY_GT))
+
+        dt_lens = np.asarray([len(b) for b in dt_boxes_l], np.int64)
+        gt_lens = np.asarray([len(g[0]) for g in gt_parts], np.int64)
+        dt_off = np.concatenate([[0], np.cumsum(dt_lens)])
+        gt_off = np.concatenate([[0], np.cumsum(gt_lens)])
+        dt_boxes = (
+            np.concatenate(dt_boxes_l) if len(dt_boxes_l)
+            else np.zeros((0, 4), np.float64)
+        )
+        dt_scores = np.concatenate(dt_scores_l) if dt_scores_l else np.zeros(0)
+        gt_boxes = np.concatenate([g[0] for g in gt_parts])
+        gt_crowd = np.concatenate([g[1] for g in gt_parts])
+        gt_area = np.concatenate([g[2] for g in gt_parts])
+        area_rngs = np.asarray([AREA_RNG[k] for k in AREA_KEYS], np.float64)
+
+        if use_native:
+            from .native import match_category_native
+
+            dtm, dt_ig, num_gt = match_category_native(
+                dt_boxes, dt_off, gt_boxes, gt_crowd, gt_area, gt_off,
+                IOU_THRS, area_rngs,
+            )
+        else:
+            n_area, n_thr = len(AREA_KEYS), len(IOU_THRS)
+            total_dt = int(dt_off[-1])
+            dtm = np.zeros((n_area, n_thr, total_dt), np.int64)
+            dt_ig = np.zeros((n_area, n_thr, total_dt), bool)
+            num_gt = np.zeros(n_area, np.int64)
+            for ii in range(len(imgs)):
+                d0, d1 = int(dt_off[ii]), int(dt_off[ii + 1])
+                g0, g1 = int(gt_off[ii]), int(gt_off[ii + 1])
+                if d1 == d0 and g1 == g0:
+                    continue
+                crowd = gt_crowd[g0:g1].astype(bool)
+                # IoU table once per image, reused by every area range.
+                ious = bbox_iou_xywh(dt_boxes[d0:d1], gt_boxes[g0:g1], crowd)
+                d_areas = dt_boxes[d0:d1, 2] * dt_boxes[d0:d1, 3]
+                for ai, rng in enumerate(area_rngs):
+                    ig = (
+                        crowd
+                        | (gt_area[g0:g1] < rng[0])
+                        | (gt_area[g0:g1] > rng[1])
+                    )
+                    num_gt[ai] += int((~ig).sum())
+                    g_order = np.argsort(ig, kind="stable")
+                    m, i = _greedy_match_from_ious(
+                        ious[:, g_order], d_areas, ig[g_order],
+                        crowd[g_order], rng,
+                    )
+                    dtm[ai, :, d0:d1] = m
+                    dt_ig[ai, :, d0:d1] = i
+
+        rank = np.arange(len(dt_scores)) - np.repeat(dt_off[:-1], dt_lens)
+        return dt_scores, rank, dtm, dt_ig, num_gt
 
     def evaluate(self, results: Sequence[dict]) -> Dict[str, float]:
         """Run the full protocol on detection result dicts
         ({image_id, category_id, bbox xywh, score})."""
+        from .native import get_lib
+
+        use_native = get_lib() is not None
+
         dt_by_img_cat = defaultdict(list)
         for r in results:
             dt_by_img_cat[(r["image_id"], r["category_id"])].append(r)
@@ -174,47 +295,22 @@ class CocoEvaluator:
         recall = -np.ones((n_thr, n_cat, n_area, n_md))
 
         for ci, cat_id in enumerate(self.cat_ids):
-            for ai, area_key in enumerate(AREA_KEYS):
-                rng = AREA_RNG[area_key]
-                for mi, max_det in enumerate(MAX_DETS):
-                    evals = []
-                    for img_id in self.img_ids:
-                        gts = self._gt_by_img_cat.get((img_id, cat_id), [])
-                        dts = dt_by_img_cat.get((img_id, cat_id), [])
-                        if not gts and not dts:
-                            continue
-                        gt_boxes = np.asarray(
-                            [g["bbox"] for g in gts], np.float64
-                        ).reshape(-1, 4)
-                        gt_crowd = np.asarray(
-                            [g.get("iscrowd", 0) for g in gts], np.int64
-                        )
-                        gt_area = np.asarray(
-                            [
-                                g.get("area", g["bbox"][2] * g["bbox"][3])
-                                for g in gts
-                            ],
-                            np.float64,
-                        )
-                        gt_ignore = (
-                            (gt_crowd > 0)
-                            | (gt_area < rng[0])
-                            | (gt_area > rng[1])
-                        ).astype(np.int64)
-                        dt_boxes = np.asarray(
-                            [d["bbox"] for d in dts], np.float64
-                        ).reshape(-1, 4)
-                        dt_scores = np.asarray(
-                            [d["score"] for d in dts], np.float64
-                        )
-                        evals.append(
-                            _match_image_category(
-                                dt_boxes, dt_scores, gt_boxes, gt_ignore,
-                                gt_crowd, rng, max_det,
-                            )
-                        )
+            matched = self._match_category(cat_id, dt_by_img_cat, use_native)
+            if matched is None:
+                continue
+            dt_scores, rank, dtm, dt_ig, num_gt = matched
+            for mi, max_det in enumerate(MAX_DETS):
+                keep = rank < max_det
+                scores_k = dt_scores[keep]
+                order = np.argsort(-scores_k, kind="mergesort")
+                for ai in range(n_area):
+                    if num_gt[ai] == 0:
+                        continue
                     self._accumulate_cell(
-                        evals, precision, recall, ci, ai, mi
+                        dtm[ai][:, keep][:, order],
+                        dt_ig[ai][:, keep][:, order],
+                        int(num_gt[ai]),
+                        precision, recall, ci, ai, mi,
                     )
 
         self.precision = precision
@@ -222,40 +318,32 @@ class CocoEvaluator:
         return self.summarize()
 
     @staticmethod
-    def _accumulate_cell(evals, precision, recall, ci, ai, mi):
-        """pycocotools COCOeval.accumulate for one (cat, area, maxDet)."""
-        if not evals:
-            return
-        num_gt = sum(e["num_gt"] for e in evals)
-        if num_gt == 0:
-            return
-        dt_scores = np.concatenate([e["dt_scores"] for e in evals])
-        order = np.argsort(-dt_scores, kind="mergesort")
-        dtm = np.concatenate([e["dtm"] for e in evals], axis=1)[:, order]
-        dt_ig = np.concatenate([e["dt_ignore"] for e in evals], axis=1)[:, order]
+    def _accumulate_cell(dtm, dt_ig, num_gt, precision, recall, ci, ai, mi):
+        """pycocotools COCOeval.accumulate for one (cat, area, maxDet).
 
+        dtm/dt_ig: [n_thr, nd], columns sorted by global descending score.
+        """
         tps = (dtm > 0) & ~dt_ig
         fps = (dtm == 0) & ~dt_ig
         tp_sum = np.cumsum(tps, axis=1).astype(np.float64)
         fp_sum = np.cumsum(fps, axis=1).astype(np.float64)
 
-        for ti in range(len(IOU_THRS)):
-            tp, fp = tp_sum[ti], fp_sum[ti]
-            nd = len(tp)
-            rc = tp / num_gt
-            pr = tp / np.maximum(tp + fp, np.spacing(1))
-            recall[ti, ci, ai, mi] = rc[-1] if nd else 0.0
+        nd = tp_sum.shape[1]
+        rc = tp_sum / num_gt
+        pr = tp_sum / np.maximum(tp_sum + fp_sum, np.spacing(1))
+        recall[:, ci, ai, mi] = rc[:, -1] if nd else 0.0
 
-            # Precision envelope (monotone non-increasing from the right).
+        if nd == 0:
+            precision[:, :, ci, ai, mi] = 0.0
+            return
+        # Precision envelope (monotone non-increasing from the right),
+        # then 101-point interpolation at the recall thresholds.
+        env = np.maximum.accumulate(pr[:, ::-1], axis=1)[:, ::-1]
+        for ti in range(len(IOU_THRS)):
+            inds = np.searchsorted(rc[ti], REC_THRS, side="left")
             q = np.zeros(len(REC_THRS))
-            pr = pr.tolist()
-            for i in range(nd - 1, 0, -1):
-                if pr[i] > pr[i - 1]:
-                    pr[i - 1] = pr[i]
-            inds = np.searchsorted(rc, REC_THRS, side="left")
-            for ri, pi in enumerate(inds):
-                if pi < nd:
-                    q[ri] = pr[pi]
+            valid = inds < nd
+            q[valid] = env[ti, inds[valid]]
             precision[ti, :, ci, ai, mi] = q
 
     def _summ(self, ap: bool, iou: Optional[float] = None,

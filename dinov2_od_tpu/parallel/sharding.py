@@ -68,8 +68,18 @@ def auto_mesh(
 
 # Column-parallel linears: output dim sharded over 'model'.
 _COL_PARALLEL = ("q", "k", "v", "fc1")
-# Row-parallel linears: input dim sharded over 'model'.
-_ROW_PARALLEL = ("proj", "fc2")
+# Row-parallel linears: input dim sharded over 'model'. "out" is the
+# decoder self/cross-attention output projection; "proj" the backbone
+# attention output projection.
+_ROW_PARALLEL = ("proj", "fc2", "out")
+# Deformable-attention leaves (parent "deform"): the value projection is
+# column-parallel (per-head value maps land shard-local when heads divide
+# the model axis) and the output projection row-parallel, mirroring the
+# q/k/v + out split of regular attention. Offset/weight projections have
+# tiny output dims (H*P*2) and stay replicated.
+_DEFORM_COL = ("value_kernel",)
+_DEFORM_COL_BIAS = ("value_bias",)
+_DEFORM_ROW = ("output_kernel",)
 
 
 def _pspec_for(path, leaf, model_axis: str) -> P:
@@ -84,6 +94,14 @@ def _pspec_for(path, leaf, model_axis: str) -> P:
         pad = (None,) * (leaf.ndim - len(right_specs))
         return P(*(pad + right_specs))
 
+    if parent == "deform":
+        if name in _DEFORM_COL:
+            return spec_from_right((None, model_axis))
+        if name in _DEFORM_COL_BIAS:
+            return spec_from_right((model_axis,))
+        if name in _DEFORM_ROW:
+            return spec_from_right((model_axis, None))
+        return P()
     if parent in _COL_PARALLEL:
         if name == "kernel":
             return spec_from_right((None, model_axis))
@@ -99,6 +117,31 @@ def _pspec_for(path, leaf, model_axis: str) -> P:
             return spec_from_right((model_axis, None))
         return P()  # bias, lora_B replicated
     return P()
+
+
+def check_tp_compatible(detector_cfg, model_parallel_size: int) -> None:
+    """Head counts and sharded dims must divide the model axis, or the
+    Megatron col/row split silently degrades to cross-shard gathers."""
+    if model_parallel_size <= 1:
+        return
+    tp = model_parallel_size
+    bb, dec = detector_cfg.backbone, detector_cfg.decoder
+    for what, heads in (("backbone", bb.num_heads), ("decoder", dec.num_heads)):
+        if heads % tp != 0:
+            raise ValueError(
+                f"{what} num_heads={heads} not divisible by "
+                f"model_parallel_size={tp}"
+            )
+    for what, dim in (
+        ("backbone hidden_dim", bb.hidden_dim),
+        ("backbone mlp_dim", bb.mlp_dim),
+        ("decoder hidden_dim", dec.hidden_dim),
+        ("decoder dim_feedforward", dec.dim_feedforward),
+    ):
+        if dim % tp != 0:
+            raise ValueError(
+                f"{what}={dim} not divisible by model_parallel_size={tp}"
+            )
 
 
 def param_shardings(

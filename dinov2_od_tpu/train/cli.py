@@ -271,6 +271,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     # only_evaluate (reference train.py:750-890)
     # ------------------------------------------------------------------
     if args.only_evaluate:
+        from ..parallel.sharding import check_tp_compatible
+
+        check_tp_compatible(cfg.detector, args.model_parallel)
         eval_step = make_eval_step(cfg)
         mesh = auto_mesh(args.batch_size, args.model_parallel)
         params = shard_params(params, mesh)

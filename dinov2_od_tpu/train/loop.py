@@ -20,6 +20,7 @@ from ..data.loader import DataLoader, pad_batch
 from ..evaluation.coco_metrics import compute_coco_metrics
 from ..evaluation.postprocess import postprocess_detections
 from ..parallel import auto_mesh, batch_sharding, shard_params
+from ..parallel.sharding import check_tp_compatible
 from ..utils.logging import log_images, log_metrics
 from ..utils.memory import format_memory_stats
 from . import checkpoint as ckpt
@@ -196,6 +197,7 @@ def run_training(
         "val_epochs": [], "val_AP": [], "val_AP50": [], "val_AP75": [],
     }
 
+    check_tp_compatible(cfg.detector, model_parallel)
     mesh = auto_mesh(cfg.data.batch_size, model_parallel)
     logger.info("device mesh: %s", dict(mesh.shape))
     params = shard_params(params, mesh)
@@ -278,8 +280,10 @@ def run_training(
                     gt_valid=batch["valid"],
                 )
 
+        # One stacked readback for the whole epoch: per-scalar np.asarray
+        # would cost one ~30ms relay round-trip per batch on this backend.
         epoch_loss = (
-            float(np.mean([np.asarray(l) for l in epoch_losses]))
+            float(np.mean(jax.device_get(jnp.stack(epoch_losses))))
             if epoch_losses
             else float("nan")
         )

@@ -170,3 +170,118 @@ def test_end_to_end_synthetic_dataset(tmp_path):
     ]
     m = compute_coco_metrics(res, ann_file)
     assert m["AP"] == 1.0 and m["AP50"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Adversarial protocol cases (VERDICT r1: hardening in lieu of pycocotools
+# cross-check — no egress, so these encode the protocol subtleties by hand).
+# ---------------------------------------------------------------------------
+
+def test_score_ties_stable_order(tmp_path):
+    """Equal-score detections keep insertion order (mergesort stability):
+    the TP listed first is cumulated before the FP, AP stays 1.0."""
+    gt_file = _write_gt(tmp_path, [_ann(1, 1, 7, [10, 10, 20, 20])])
+    res = [
+        {"image_id": 1, "category_id": 7, "bbox": [10, 10, 20, 20], "score": 0.5},
+        {"image_id": 1, "category_id": 7, "bbox": [400, 400, 20, 20], "score": 0.5},
+    ]
+    m = compute_coco_metrics(res, gt_file)
+    assert m["AP50"] == pytest.approx(1.0)
+    # Flipped insertion order: FP first at the same score halves AP50
+    # (precision at the single recall point is 0.5).
+    m2 = compute_coco_metrics(list(reversed(res)), gt_file)
+    assert m2["AP50"] == pytest.approx(0.5)
+
+
+def test_area_boundary_exactly_32sq(tmp_path):
+    """GT with area exactly 32^2 = 1024 belongs to BOTH small (<=1024) and
+    medium (>=1024) ranges (pycocotools ranges are inclusive)."""
+    bbox = [10, 10, 32, 32]
+    gt_file = _write_gt(tmp_path, [_ann(1, 1, 7, bbox)])
+    res = [{"image_id": 1, "category_id": 7, "bbox": bbox, "score": 0.9}]
+    m = compute_coco_metrics(res, gt_file)
+    assert m["APs"] == pytest.approx(1.0)
+    assert m["APm"] == pytest.approx(1.0)
+    assert m["APl"] == -1.0  # no large GT -> undefined cell
+
+
+def test_crowd_absorbs_multiple_detections(tmp_path):
+    """Several detections may all match one crowd GT (gtm not exclusive for
+    crowds) and are all ignored, not FPs."""
+    gt_file = _write_gt(tmp_path, [
+        _ann(1, 1, 7, [10, 10, 100, 100], iscrowd=1),
+        _ann(2, 1, 7, [300, 300, 20, 20]),
+    ])
+    res = [
+        {"image_id": 1, "category_id": 7, "bbox": [300, 300, 20, 20], "score": 0.9},
+        {"image_id": 1, "category_id": 7, "bbox": [12, 12, 50, 50], "score": 0.8},
+        {"image_id": 1, "category_id": 7, "bbox": [40, 40, 60, 60], "score": 0.7},
+    ]
+    m = compute_coco_metrics(res, gt_file)
+    assert m["AP50"] == pytest.approx(1.0)
+
+
+def test_out_of_area_unmatched_detection_not_fp(tmp_path):
+    """An unmatched detection whose area lies outside the cell's range is
+    ignored there, so it cannot depress the small/medium/large APs."""
+    gt_file = _write_gt(tmp_path, [_ann(1, 1, 7, [10, 10, 20, 20])])  # small
+    res = [
+        {"image_id": 1, "category_id": 7, "bbox": [10, 10, 20, 20], "score": 0.9},
+        # Unmatched LARGE detection: FP for 'all', ignored for 'small'.
+        {"image_id": 1, "category_id": 7, "bbox": [300, 10, 150, 150], "score": 0.95},
+    ]
+    m = compute_coco_metrics(res, gt_file)
+    assert m["APs"] == pytest.approx(1.0)
+    assert m["AP50"] == pytest.approx(0.5)  # 'all' sees the FP ranked first
+
+
+def test_maxdet_truncation_is_per_image(tmp_path):
+    """maxDets truncates per image BEFORE cross-image score sorting: a
+    flood of low-score detections in image 1 cannot evict image 2's."""
+    gt_file = _write_gt(
+        tmp_path,
+        [_ann(1, 1, 7, [10, 10, 20, 20]), _ann(2, 2, 7, [10, 10, 20, 20])],
+        images=[{"id": 1}, {"id": 2}],
+    )
+    res = [{"image_id": 2, "category_id": 7, "bbox": [10, 10, 20, 20], "score": 0.05}]
+    # 150 junk detections in image 1, all scored above image 2's TP.
+    for k in range(150):
+        res.append({
+            "image_id": 1, "category_id": 7,
+            "bbox": [400, 400, 5, 5], "score": 0.9 - k * 0.001,
+        })
+    res.append({"image_id": 1, "category_id": 7, "bbox": [10, 10, 20, 20], "score": 0.99})
+    m = compute_coco_metrics(res, gt_file)
+    # Both TPs survive truncation (img1 keeps its 0.99 TP + 99 junk, img2
+    # keeps its only detection) -> recall 1.0 at IoU .5.
+    ev = CocoEvaluator(gt_file)
+    ev.evaluate(res)
+    assert ev.recall[0, 0, 0, 2] == pytest.approx(1.0)  # thr=.5, all, maxDet=100
+
+
+def test_detection_for_unknown_category_ignored(tmp_path):
+    gt_file = _write_gt(tmp_path, [_ann(1, 1, 7, [10, 10, 20, 20])])
+    res = [
+        {"image_id": 1, "category_id": 7, "bbox": [10, 10, 20, 20], "score": 0.9},
+        {"image_id": 1, "category_id": 99, "bbox": [10, 10, 20, 20], "score": 0.9},
+    ]
+    m = compute_coco_metrics(res, gt_file)
+    assert m["AP"] == pytest.approx(1.0)
+
+
+def test_gt_sort_puts_ignored_last_but_matchable(tmp_path):
+    """A detection overlapping only an area-ignored GT matches it and is
+    ignored (not an FP), while non-ignored GT keep matching priority."""
+    gt_file = _write_gt(tmp_path, [
+        _ann(1, 1, 7, [10, 10, 200, 200]),   # large GT
+        _ann(2, 1, 7, [500, 10, 20, 20]),    # small GT
+    ])
+    # One detection on each; in the 'small' cell the large GT is ignored.
+    res = [
+        {"image_id": 1, "category_id": 7, "bbox": [10, 10, 200, 200], "score": 0.9},
+        {"image_id": 1, "category_id": 7, "bbox": [500, 10, 20, 20], "score": 0.8},
+    ]
+    m = compute_coco_metrics(res, gt_file)
+    assert m["APs"] == pytest.approx(1.0)
+    assert m["APl"] == pytest.approx(1.0)
+    assert m["AP"] == pytest.approx(1.0)

@@ -106,3 +106,63 @@ def test_native_end_to_end_identical_metrics(tmp_path, rng):
         native_mod.get_lib = orig
 
     assert with_native == without_native
+
+
+def test_native_matches_numpy_randomized_large(tmp_path, rng):
+    """Randomized differential check at moderate scale: crowds, empty
+    images, score ties, detections in GT-less categories, >100 dets/img.
+    The batched C++ category kernel and the pure numpy path must produce
+    bit-identical metrics."""
+    import json
+
+    from dinov2_od_tpu.evaluation import coco_metrics as cm
+    import dinov2_od_tpu.evaluation.native as native_mod
+
+    if native_mod.get_lib() is None:
+        pytest.skip("native kernel unavailable")
+
+    n_img, cats = 40, [1, 2, 3]
+    images = [{"id": i} for i in range(n_img)]
+    anns, dets, aid = [], [], 0
+    for i in range(n_img):
+        for _ in range(int(rng.integers(0, 9))):  # some images empty
+            x, y = rng.uniform(0, 400, 2)
+            w, h = rng.uniform(2, 150, 2)
+            aid += 1
+            anns.append({
+                "id": aid, "image_id": i,
+                "category_id": int(rng.choice(cats)),
+                "bbox": [x, y, w, h], "area": float(w * h),
+                "iscrowd": int(rng.random() < 0.15),
+            })
+        n_det = int(rng.integers(0, 130))
+        for d in range(n_det):
+            x, y = rng.uniform(0, 400, 2)
+            w, h = rng.uniform(2, 150, 2)
+            dets.append({
+                "image_id": i, "category_id": int(rng.choice(cats + [9])),
+                "bbox": [float(x), float(y), float(w), float(h)],
+                # Quantized scores -> plenty of exact ties.
+                "score": float(np.round(rng.random(), 2)),
+            })
+
+    gt_file = tmp_path / "gt.json"
+    gt_file.write_text(json.dumps({
+        "images": images, "annotations": anns,
+        "categories": [{"id": c, "name": str(c)} for c in cats],
+    }))
+
+    ev_native = cm.CocoEvaluator(str(gt_file))
+    m_native = ev_native.evaluate(dets)
+
+    orig = native_mod.get_lib
+    native_mod.get_lib = lambda: None
+    try:
+        ev_np = cm.CocoEvaluator(str(gt_file))
+        m_np = ev_np.evaluate(dets)
+    finally:
+        native_mod.get_lib = orig
+
+    assert m_native == m_np
+    np.testing.assert_array_equal(ev_native.precision, ev_np.precision)
+    np.testing.assert_array_equal(ev_native.recall, ev_np.recall)

@@ -194,3 +194,59 @@ def test_gradient_accumulation_updates_every_n():
     state, _ = step(state, batch, jax.random.key(0))
     p2 = np.asarray(state.params["decoder"]["class_embed"]["kernel"])
     assert np.abs(p2 - p0).sum() > 0  # second micro-step applies
+
+
+def test_check_tp_compatible():
+    from dinov2_od_tpu.parallel.sharding import check_tp_compatible
+
+    cfg = _tiny_train_cfg()
+    check_tp_compatible(cfg.detector, 1)   # no-op
+    check_tp_compatible(cfg.detector, 4)   # heads=4/4, dims 32/64 divisible
+    with pytest.raises(ValueError, match="num_heads"):
+        check_tp_compatible(cfg.detector, 8)  # decoder heads=4 % 8 != 0
+
+
+def test_tp_shards_decoder_and_deformable_projections():
+    """Decoder attention out-projections and deformable value/output
+    projections must carry 'model'-axis specs (not stay replicated)."""
+    from dinov2_od_tpu.parallel.sharding import param_shardings
+
+    cfg = _tiny_train_cfg(use_deformable=True)
+    params = init_detector_params(jax.random.key(0), cfg.detector)
+    mesh = create_mesh(model_parallel_size=4)
+    sh = param_shardings(params, mesh)
+
+    layers = sh["decoder"]["layers"]
+    out_spec = layers["self_attn"]["out"]["kernel"].spec
+    assert "model" in jax.tree_util.tree_leaves(out_spec), out_spec
+    dv = layers["deform"]["value_kernel"].spec
+    do = layers["deform"]["output_kernel"].spec
+    # value: column-parallel (last dim), output: row-parallel (2nd-last dim)
+    assert dv[-1] == "model", dv
+    assert do[-2] == "model", do
+    # offsets stay replicated
+    assert all(s is None for s in layers["deform"]["offsets_kernel"].spec)
+
+
+def test_dp_tp_standard_decoder_matches_single_device():
+    """DP x TP equality through the *standard* (non-deformable) decoder
+    path, exercising the row-parallel cross/self attention out projections."""
+    cfg = _tiny_train_cfg(use_deformable=False)
+    params = init_detector_params(jax.random.key(0), cfg.detector)
+    tx = make_optimizer(cfg.optim, cfg.detector, params)
+    step = make_train_step(cfg, tx)
+    batch = _batch(cfg, n=4)
+    rng = jax.random.key(7)
+
+    copy = lambda p: jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)), p)
+    state_a = create_train_state(copy(params), cfg.optim, cfg.detector)
+    state_a, ma = step(state_a, batch, rng)
+
+    mesh = create_mesh(model_parallel_size=4)
+    sharded_params = shard_params(copy(params), mesh)
+    state_b = create_train_state(sharded_params, cfg.optim, cfg.detector)
+    bs = batch_sharding(mesh)
+    batch_sh = {k: jax.device_put(v, bs) for k, v in batch.items()}
+    state_b, mb = step(state_b, batch_sh, rng)
+
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=2e-4)

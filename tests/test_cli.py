@@ -48,6 +48,7 @@ def test_arg_parser_covers_reference_flags():
         assert ref_flag in flags, f"missing reference flag {ref_flag}"
 
 
+@pytest.mark.slow
 def test_debug_overfit_via_cli(synth, tmp_path):
     """`--debug --lightweight` at 56px: loss must drop over 3 epochs, and
     checkpoints/logs/final model must appear."""
@@ -78,6 +79,7 @@ def test_debug_overfit_via_cli(synth, tmp_path):
     assert hist["train_loss"][-1] < hist["train_loss"][0]
 
 
+@pytest.mark.slow
 def test_resume_from_checkpoint(synth, tmp_path):
     images_dir, ann_file = synth
     out = str(tmp_path / "run2")
@@ -133,6 +135,7 @@ def test_only_evaluate_testdev_with_test_mini(synth, tmp_path):
     assert os.path.exists(os.path.join(out, "test_mini_indices.json"))
 
 
+@pytest.mark.slow
 def test_coco_mini_indices_saved_and_reloaded(synth, tmp_path):
     """--use_coco_mini trains on a seeded subset, persists the indices
     JSON, and --coco_mini_indices_file reproduces the exact subset

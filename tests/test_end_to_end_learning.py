@@ -26,7 +26,6 @@ from dinov2_od_tpu.train import create_train_state, make_optimizer, make_train_s
 from dinov2_od_tpu.train.step import make_eval_step
 
 
-@pytest.mark.slow
 def test_overfit_reaches_nontrivial_ap(tmp_path):
     images_dir, ann_file = write_coco_dataset(
         str(tmp_path), num_images=8, image_size=56, seed=7, max_objects=2

@@ -150,6 +150,12 @@ class MatcherConfig:
     cost_giou: float = 2.0
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
+    # Assignment solver: 'jv' (exact Jonker-Volgenant, sequential
+    # augmenting paths), 'auction' (eps-optimal parallel bidding rounds,
+    # ~30x faster at COCO GT density), or 'auto' (jv below
+    # auction_threshold, auction at/above it).
+    assignment: str = "auto"
+    auction_threshold: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

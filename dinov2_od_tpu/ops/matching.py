@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import MatcherConfig
+from .auction import auction_assign
 from .boxes import box_cxcywh_to_xyxy, generalized_box_iou
 from .hungarian import hungarian_assign, invert_assignment
 
@@ -111,15 +112,52 @@ def _match_one_image(pred_logits, pred_boxes, gt_labels, gt_boxes, gt_valid, cfg
     cost_qg = matching_cost_matrix(
         pred_logits, pred_boxes, gt_labels, gt_boxes, gt_valid, cfg
     )
-    # Square problem with GT as rows (so augmentations = #valid GT, which is
-    # usually far below num_queries) and queries as columns.
-    cost_sq = jnp.full((n, n), PAD_COST, dtype=jnp.float32)
-    cost_sq = cost_sq.at[:num_gt, :num_queries].set(cost_qg.T)
 
-    row_valid = jnp.zeros((n,), dtype=bool).at[:num_gt].set(gt_valid)
-    gt_of_col = hungarian_assign(cost_sq, row_valid)  # [n]
+    solver = cfg.assignment
+    if solver == "auto":
+        # Threshold on the padded GT count (the number of augmenting
+        # paths JV may need), NOT the square size n = max(Q, G): at
+        # sparse GT (max_boxes <= ~32) the sequential JV solve is cheap
+        # (~0.7 ms) and exact, so it stays the default there.
+        solver = "auction" if num_gt >= cfg.auction_threshold else "jv"
+    if solver == "auction":
+        # Transposed orientation: queries (all real) bid for GT-slot
+        # columns. The smaller, all-valid side bidding into spare
+        # columns keeps auction contention low (see ops/auction.py).
+        cost_qn = jnp.full((num_queries, n), PAD_COST, dtype=jnp.float32)
+        cost_qn = cost_qn.at[:, :num_gt].set(cost_qg)
+        # Clip the padding down to just above the real cost range: the
+        # auction's eps is relative to the matrix range, so leaving pads at
+        # PAD_COST would inflate the eps-optimality slack ~100x. Uniform
+        # padding anywhere above the real max yields the same optimum.
+        # "Real" excludes PAD_COST-substituted entries (NaN-poisoned
+        # predictions): one poisoned row would otherwise inflate the
+        # matrix range ~1e3x and with it the eps-optimality slack of
+        # every other query.
+        real = gt_valid[None, :] & (cost_qg < PAD_COST / 2)
+        real_max = jnp.max(jnp.where(real, cost_qg, -jnp.inf))
+        real_max = jnp.where(jnp.isfinite(real_max), real_max, 0.0)
+        col_pad = jnp.ones((n,), bool).at[:num_gt].set(~gt_valid)
+        query_of_col = auction_assign(
+            jnp.minimum(cost_qn, real_max + 1.0),
+            jnp.ones((num_queries,), bool),
+            col_pad,
+            # Square with all rows valid (Q >= G slots) has maximal
+            # contention; eps-scaling is sound there because every
+            # phase ends with all columns assigned. Q < G keeps the
+            # provable single phase (spare columns keep contention low).
+            scale_phases=(num_queries == n),
+        )
+        query_of_gt = query_of_col[:num_gt]
+    else:
+        # Square problem with GT as rows (so augmentations = #valid GT,
+        # usually far below num_queries) and queries as columns.
+        cost_sq = jnp.full((n, n), PAD_COST, dtype=jnp.float32)
+        cost_sq = cost_sq.at[:num_gt, :num_queries].set(cost_qg.T)
+        row_valid = jnp.zeros((n,), dtype=bool).at[:num_gt].set(gt_valid)
+        gt_of_col = hungarian_assign(cost_sq, row_valid)  # [n]
+        query_of_gt = invert_assignment(gt_of_col[:num_queries], num_gt)
 
-    query_of_gt = invert_assignment(gt_of_col[:num_queries], num_gt)
     match_valid = (query_of_gt >= 0) & gt_valid
     return query_of_gt, match_valid
 

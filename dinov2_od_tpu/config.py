@@ -223,6 +223,13 @@ class MeshConfig:
     data_axis: str = "data"
     model_axis: str = "model"
     model_parallel_size: int = 1
+    # Context (sequence) parallelism: backbone attention runs as ring
+    # attention with the token dim sharded over the *model* axis
+    # (ops/ring_attention.py), for inputs whose [S, S] attention exceeds
+    # one chip. Repurposes the model axis: parameters stay replicated
+    # over it (mutually exclusive with tensor parallelism), and the
+    # backbone token count must divide model_parallel_size.
+    context_parallel: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

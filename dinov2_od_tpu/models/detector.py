@@ -44,11 +44,16 @@ def detector_apply(
     deterministic: bool = True,
     attn_impl: str = "auto",
     use_remat: bool = False,
+    mesh=None,
+    seq_axis: str | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Full forward pass.
 
     Args:
       pixel_values: [B, H, W, 3] images (NHWC).
+      mesh / seq_axis: context parallelism — forwarded to the backbone's
+        ring attention when attn_impl='ring' (the decoder's 50-query
+        attention never needs sequence sharding).
 
     Returns:
       {"pred_logits": [B, Q, C], "pred_boxes": [B, Q, 4]}.
@@ -59,6 +64,8 @@ def detector_apply(
         pixel_values,
         attn_impl=attn_impl,
         use_remat=use_remat,
+        mesh=mesh,
+        seq_axis=seq_axis,
     )
     return decoder_apply(
         params["decoder"],

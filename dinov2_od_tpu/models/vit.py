@@ -102,7 +102,10 @@ def _eff_kernel(p: Params, alpha: float, dtype, mode: str):
     return w.astype(dtype)
 
 
-def _attention(x: jnp.ndarray, bp: Params, cfg: BackboneConfig, attn_impl: str):
+def _attention(
+    x: jnp.ndarray, bp: Params, cfg: BackboneConfig, attn_impl: str,
+    mesh=None, seq_axis=None,
+):
     b, n, d = x.shape
     h = cfg.num_heads
     dh = d // h
@@ -135,7 +138,9 @@ def _attention(x: jnp.ndarray, bp: Params, cfg: BackboneConfig, attn_impl: str):
     q = q.reshape(b, n, h, dh)
     k = k.reshape(b, n, h, dh)
     v = v.reshape(b, n, h, dh)
-    out = multi_head_attention(q, k, v, impl=attn_impl).reshape(b, n, d)
+    out = multi_head_attention(
+        q, k, v, impl=attn_impl, mesh=mesh, seq_axis=seq_axis
+    ).reshape(b, n, d)
     return _maybe_lora(out, bp["proj"], cfg)
 
 
@@ -156,10 +161,13 @@ def _ffn(x: jnp.ndarray, bp: Params, cfg: BackboneConfig):
     return _maybe_lora(h, bp["fc2"], cfg)
 
 
-def _block_apply(x: jnp.ndarray, bp: Params, cfg: BackboneConfig, attn_impl: str):
+def _block_apply(
+    x: jnp.ndarray, bp: Params, cfg: BackboneConfig, attn_impl: str,
+    mesh=None, seq_axis=None,
+):
     """Pre-norm ViT block with LayerScale (HF Dinov2Layer semantics)."""
     x = x + bp["ls1"].astype(x.dtype) * _attention(
-        layer_norm(x, bp["ln1"]), bp, cfg, attn_impl
+        layer_norm(x, bp["ln1"]), bp, cfg, attn_impl, mesh, seq_axis
     )
     x = x + bp["ls2"].astype(x.dtype) * _ffn(layer_norm(x, bp["ln2"]), bp, cfg)
     return x
@@ -191,6 +199,8 @@ def backbone_apply(
     *,
     attn_impl: str = "auto",
     use_remat: bool = False,
+    mesh=None,
+    seq_axis: str | None = None,
 ) -> jnp.ndarray:
     """Run the backbone.
 
@@ -228,7 +238,7 @@ def backbone_apply(
     x = x + params["pos_embed"].astype(dtype)
 
     block_fn = lambda carry, bp: (
-        _block_apply(carry, bp, cfg, attn_impl),
+        _block_apply(carry, bp, cfg, attn_impl, mesh, seq_axis),
         None,
     )
     if use_remat:

@@ -41,13 +41,18 @@ def multi_head_attention(
     impl: str = "auto",
     dropout_rate: float = 0.0,
     dropout_rng: jnp.ndarray | None = None,
+    mesh=None,
+    seq_axis: str | None = None,
 ) -> jnp.ndarray:
     """Scaled dot-product attention over heads.
 
     Args:
       q: [B, Sq, H, Dh]
       k, v: [B, Sk, H, Dh]
-      impl: 'xla' | 'pallas' | 'auto'.
+      impl: 'xla' | 'pallas' | 'auto' | 'ring' (context parallelism:
+        sequence sharded over `seq_axis` of `mesh`; requires mesh and
+        seq_axis, self-attention shapes, and Sq divisible by the axis
+        size — see ops/ring_attention.py).
       dropout_rate / dropout_rng: attention-probability dropout (applied
         after softmax, torch nn.MultiheadAttention style). Only active when
         both are set; forces the XLA path since the fused Pallas kernel
@@ -58,6 +63,34 @@ def multi_head_attention(
     """
     scale = 1.0 / (q.shape[-1] ** 0.5)
     use_dropout = dropout_rate > 0.0 and dropout_rng is not None
+    if impl == "ring":
+        if mesh is None or seq_axis is None:
+            raise ValueError("impl='ring' requires mesh and seq_axis")
+        if use_dropout:
+            raise ValueError(
+                "attention-probability dropout is not supported under "
+                "ring attention (probabilities are never materialized)"
+            )
+        if q.shape[:2] != k.shape[:2]:
+            raise ValueError(
+                "ring attention supports self-attention shapes only "
+                f"(got Sq={q.shape[1]}, Sk={k.shape[1]})"
+            )
+        from .ring_attention import ring_attention
+
+        n_shards = mesh.shape[seq_axis]
+        s = q.shape[1]
+        pad = (-s) % n_shards
+        if pad:
+            # Pad tokens to a shard multiple; the kernel masks padded
+            # keys (valid_len), and padded query rows are sliced off.
+            padw = ((0, 0), (0, pad), (0, 0), (0, 0))
+            q, k, v = (jnp.pad(x, padw) for x in (q, k, v))
+        out = ring_attention(
+            q, k, v, scale=scale, mesh=mesh, axis=seq_axis,
+            valid_len=s if pad else None,
+        )
+        return out[:, :s] if pad else out
     if impl == "auto":
         impl = "pallas" if (_pallas_eligible(q, k) and not use_dropout) else "xla"
     if impl == "pallas" and not use_dropout:

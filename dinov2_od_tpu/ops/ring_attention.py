@@ -33,6 +33,7 @@ def ring_attention(
     scale: float,
     mesh: Mesh,
     axis: str = "data",
+    valid_len: int | None = None,
 ) -> jnp.ndarray:
     """Exact attention with S sharded over `axis`.
 
@@ -40,6 +41,10 @@ def ring_attention(
       q, k, v: [B, S, H, Dh] global arrays, sequence dim sharded over
         `axis` (S must divide evenly by the axis size).
       mesh: the device mesh containing `axis`.
+      valid_len: if set, keys at global positions >= valid_len are
+        masked out (finite -1e30 logits, so a fully-masked first ring
+        block cannot NaN the running softmax). Lets callers pad S up to
+        a shard multiple without changing the result for real queries.
 
     Returns:
       [B, S, H, Dh], sharded like q.
@@ -47,6 +52,7 @@ def ring_attention(
 
     def local(q_loc, k_loc, v_loc):
         n = jax.lax.psum(1, axis)
+        my = jax.lax.axis_index(axis)
 
         b, sq, h, dh = q_loc.shape
         m0 = jnp.full((b, h, sq), -jnp.inf, jnp.float32)
@@ -59,6 +65,12 @@ def ring_attention(
                 jnp.einsum("bqhd,bkhd->bhqk", q_loc, k_cur).astype(jnp.float32)
                 * scale
             )
+            if valid_len is not None:
+                # After i rotations this device holds the K/V shard that
+                # originated on ring position (my - i) mod n.
+                src = jax.lax.rem(my - i + n, n)
+                kpos = src * sq + jnp.arange(sq)
+                s = jnp.where(kpos[None, None, None, :] < valid_len, s, -1e30)
             m_blk = jnp.max(s, axis=-1)
             m_new = jnp.maximum(m, m_blk)
             p = jnp.exp(s - m_new[..., None])

@@ -148,6 +148,12 @@ def param_shardings(
     params: Params, mesh: Mesh, cfg: MeshConfig = MeshConfig()
 ) -> Params:
     """NamedSharding pytree for a detector param tree."""
+    if cfg.context_parallel:
+        # The model axis carries the token dim (ring attention), not
+        # tensor parallelism: parameters replicate over it.
+        return jax.tree_util.tree_map(
+            lambda leaf: NamedSharding(mesh, P()), params
+        )
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(
             mesh, _pspec_for(path, leaf, cfg.model_axis)

@@ -197,18 +197,21 @@ def run_training(
         "val_epochs": [], "val_AP": [], "val_AP50": [], "val_AP75": [],
     }
 
-    check_tp_compatible(cfg.detector, model_parallel)
-    mesh = auto_mesh(cfg.data.batch_size, model_parallel)
+    if not cfg.mesh.context_parallel:
+        # Under context parallelism the model axis carries tokens, not
+        # tensor shards — TP divisibility constraints don't apply.
+        check_tp_compatible(cfg.detector, model_parallel)
+    mesh = auto_mesh(cfg.data.batch_size, model_parallel, cfg=cfg.mesh)
     logger.info("device mesh: %s", dict(mesh.shape))
-    params = shard_params(params, mesh)
-    bsharding = batch_sharding(mesh)
+    params = shard_params(params, mesh, cfg=cfg.mesh)
+    bsharding = batch_sharding(mesh, cfg=cfg.mesh)
 
     tx = make_optimizer(cfg.optim, cfg.detector, params, learning_rate)
     state = create_train_state(params, cfg.optim, cfg.detector, learning_rate)
     if restored_opt_state is not None:
         state = state._replace(opt_state=restored_opt_state)
-    train_step = make_train_step(cfg, tx)
-    eval_step = make_eval_step(cfg)
+    train_step = make_train_step(cfg, tx, mesh=mesh)
+    eval_step = make_eval_step(cfg, mesh=mesh)
 
     loader = DataLoader(
         train_dataset,

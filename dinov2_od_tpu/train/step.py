@@ -31,10 +31,28 @@ Batch = Dict[str, jnp.ndarray]
 #   valid:  [B, G] bool
 
 
-def make_train_step(cfg: TrainConfig, tx: optax.GradientTransformation):
-    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+def _cp_kwargs(cfg: TrainConfig, mesh):
+    """detector_apply kwargs for context parallelism (ring attention over
+    the model axis), when enabled in cfg.mesh; {} otherwise."""
+    if mesh is not None and cfg.mesh.context_parallel:
+        return {
+            "attn_impl": "ring",
+            "mesh": mesh,
+            "seq_axis": cfg.mesh.model_axis,
+        }
+    return {}
+
+
+def make_train_step(
+    cfg: TrainConfig, tx: optax.GradientTransformation, mesh=None
+):
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics).
+
+    `mesh` is only needed when cfg.mesh.context_parallel is set (ring
+    attention's shard_map needs the concrete mesh object)."""
     det_cfg = cfg.detector
     num_classes = det_cfg.decoder.num_classes
+    cp = _cp_kwargs(cfg, mesh)
 
     def train_step(
         state: TrainState, batch: Batch, rng: jax.Array
@@ -50,6 +68,7 @@ def make_train_step(cfg: TrainConfig, tx: optax.GradientTransformation):
                 rng=step_rng,
                 deterministic=False,
                 use_remat=cfg.use_remat,
+                **cp,
             )
             losses = set_criterion(
                 out["pred_logits"],
@@ -86,17 +105,18 @@ def make_train_step(cfg: TrainConfig, tx: optax.GradientTransformation):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_eval_step(cfg: TrainConfig):
+def make_eval_step(cfg: TrainConfig, mesh=None):
     """Build the jitted eval step: params, images -> raw predictions.
 
     Device-side forward only; post-processing (sigmoid/threshold/rescale)
     lives in evaluation.postprocess so it can also run fused here later.
     """
     det_cfg = cfg.detector
+    cp = _cp_kwargs(cfg, mesh)
 
     @jax.jit
     def eval_step(params, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        return detector_apply(params, det_cfg, images, deterministic=True)
+        return detector_apply(params, det_cfg, images, deterministic=True, **cp)
 
     return eval_step
 

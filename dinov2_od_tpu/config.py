@@ -139,6 +139,12 @@ class DecoderConfig:
     # untied (fixed) weights; set True to reproduce reference behavior.
     tie_layer_weights: bool = False
     dtype: str = "float32"
+    # Auxiliary decoding losses (Deformable-DETR §4 / DETR §A.2): apply
+    # the shared prediction heads + set criterion to every intermediate
+    # decoder layer's output during training. Known to add several AP on
+    # COCO. Off by default — the reference has no equivalent
+    # (detr_decoder.py supervises only the final layer).
+    aux_loss: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

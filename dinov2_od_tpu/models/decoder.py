@@ -216,26 +216,42 @@ def decoder_apply(
         (b, cfg.num_queries, d),
     )
 
+    # Intermediate layer outputs are collected (scan ys) only when the
+    # aux-loss head needs them; DETR-style deep supervision.
+    collect = cfg.aux_loss
     if rng is not None:
         xs = (params["layers"], jax.random.split(rng, cfg.num_layers))
         body_fn = lambda c, x: (
-            _layer_apply(c, memory, x[0], cfg, spatial_shape, x[1], deterministic),
-            None,
+            (out := _layer_apply(
+                c, memory, x[0], cfg, spatial_shape, x[1], deterministic
+            )),
+            out if collect else None,
         )
     else:
         xs = params["layers"]
         body_fn = lambda c, lp: (
-            _layer_apply(c, memory, lp, cfg, spatial_shape, None, True),
-            None,
+            (out := _layer_apply(c, memory, lp, cfg, spatial_shape, None, True)),
+            out if collect else None,
         )
     # Fully unrolled: 2-6 layers; avoids the scan backward's
     # dynamic-update-slice gradient stacking (trace-verified cost).
-    tgt, _ = jax.lax.scan(body_fn, tgt, xs, unroll=cfg.num_layers)
+    tgt, inter = jax.lax.scan(body_fn, tgt, xs, unroll=cfg.num_layers)
 
-    logits = linear(tgt, params["class_embed"])
-    h = jax.nn.relu(linear(tgt, params["bbox_mlp"]["fc1"]))
-    boxes = jax.nn.sigmoid(linear(h, params["bbox_mlp"]["fc2"]))
-    return {
-        "pred_logits": logits.astype(jnp.float32),
-        "pred_boxes": boxes.astype(jnp.float32),
-    }
+    def heads(x):
+        logits = linear(x, params["class_embed"])
+        h = jax.nn.relu(linear(x, params["bbox_mlp"]["fc1"]))
+        boxes = jax.nn.sigmoid(linear(h, params["bbox_mlp"]["fc2"]))
+        return logits.astype(jnp.float32), boxes.astype(jnp.float32)
+
+    logits, boxes = heads(tgt)
+    out = {"pred_logits": logits, "pred_boxes": boxes}
+    if collect:
+        # inter is [L, B, Q, D]; the shared heads score layers 0..L-2
+        # (the final layer is the main output above). One batched head
+        # call over the stacked layers — not L separate GEMMs.
+        aux_logits, aux_boxes = heads(inter[:-1])
+        out["aux_outputs"] = [
+            {"pred_logits": aux_logits[i], "pred_boxes": aux_boxes[i]}
+            for i in range(cfg.num_layers - 1)
+        ]
+    return out

@@ -85,6 +85,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
     # Model architecture (reference train.py:1421-1431)
     p.add_argument("--use_deformable", type=str2bool, default=True)
+    p.add_argument("--aux_loss", type=str2bool, default=False,
+                   help="deep supervision: match+score every intermediate "
+                        "decoder layer (Deformable-DETR sec. 4); not in "
+                        "the reference")
     p.add_argument("--n_points", type=int, default=2)
     p.add_argument("--dino_model", type=str, default="facebook/dinov2-base")
     p.add_argument("--lightweight", action="store_true")
@@ -140,14 +144,18 @@ def build_detector_config(args) -> C.DetectorConfig:
             n_points=args.n_points,
             image_size=args.image_size,
         )
+    import dataclasses
+
     if args.parity_mode:
         # Exact erf GELU (torch nn.GELU) for AP-parity runs; the default
         # tanh approximation deviates by <=5e-4 per activation.
-        import dataclasses
-
         cfg = dataclasses.replace(
             cfg,
             backbone=dataclasses.replace(cfg.backbone, gelu_approximate=False),
+        )
+    if args.aux_loss:
+        cfg = dataclasses.replace(
+            cfg, decoder=dataclasses.replace(cfg.decoder, aux_loss=True)
         )
     return cfg
 

@@ -80,7 +80,25 @@ def make_train_step(
                 loss_cfg=cfg.loss,
                 num_classes=num_classes,
             )
-            return losses["loss"], losses
+            total = losses["loss"]
+            # Deep supervision (DecoderConfig.aux_loss): each intermediate
+            # decoder layer is matched and scored independently with the
+            # same weights (Deformable-DETR §4), summed into the total.
+            for i, aux in enumerate(out.get("aux_outputs", [])):
+                aux_losses = set_criterion(
+                    aux["pred_logits"],
+                    aux["pred_boxes"],
+                    batch["labels"],
+                    batch["boxes"],
+                    batch["valid"],
+                    matcher_cfg=cfg.matcher,
+                    loss_cfg=cfg.loss,
+                    num_classes=num_classes,
+                )
+                total = total + aux_losses["loss"]
+                losses[f"loss_aux_{i}"] = aux_losses["loss"]
+            losses["loss"] = total
+            return total, losses
 
         (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params

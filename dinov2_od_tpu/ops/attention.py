@@ -20,8 +20,14 @@ import jax
 import jax.numpy as jnp
 
 
-def _xla_attention(q, k, v, scale, dropout_rate=0.0, dropout_rng=None):
+def _xla_attention(q, k, v, scale, dropout_rate=0.0, dropout_rng=None,
+                   kv_valid_len=None):
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    if kv_valid_len is not None and kv_valid_len < k.shape[1]:
+        key_ids = jnp.arange(k.shape[1])
+        logits = jnp.where(
+            key_ids[None, None, None, :] < kv_valid_len, logits, -1e30
+        )
     weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     if dropout_rate > 0.0 and dropout_rng is not None:
         # torch nn.MultiheadAttention semantics: drop attention
@@ -43,6 +49,7 @@ def multi_head_attention(
     dropout_rng: jnp.ndarray | None = None,
     mesh=None,
     seq_axis: str | None = None,
+    kv_valid_len: int | None = None,
 ) -> jnp.ndarray:
     """Scaled dot-product attention over heads.
 
@@ -96,11 +103,12 @@ def multi_head_attention(
     if impl == "pallas" and not use_dropout:
         from .flash_attention import flash_attention
 
-        return flash_attention(q, k, v, scale=scale)
+        return flash_attention(q, k, v, scale=scale, kv_len=kv_valid_len)
     return _xla_attention(
         q, k, v, scale,
         dropout_rate=dropout_rate if use_dropout else 0.0,
         dropout_rng=dropout_rng if use_dropout else None,
+        kv_valid_len=kv_valid_len,
     )
 
 
@@ -113,3 +121,26 @@ def _pallas_eligible(q, k) -> bool:
     # the full train step (564 vs 526 img/s) by keeping fp32 logits in
     # VMEM. Below ~192 keys (decoder-sized) XLA's fused GEMM wins.
     return q.shape[-1] % 64 == 0 and k.shape[1] >= 192
+
+
+def seq_pad_multiple(seq_len: int, head_dim: int, impl: str = "auto") -> int:
+    """Sequence-length multiple the caller should pad to so attention
+    runs pad-free.
+
+    The Pallas kernels need the token dim on a sublane multiple (16); a
+    network that pads ONCE at the embedding (and passes the true length
+    as `kv_valid_len`) avoids ~3 HBM pad copies per attention call per
+    direction (measured: 1.4 ms/step at ViT-B batch 32). Returns 1 when
+    the XLA path would be taken anyway.
+    """
+    if impl not in ("auto", "pallas"):
+        return 1
+    if impl == "auto" and not (
+        jax.default_backend() == "tpu"
+        and head_dim % 64 == 0
+        and seq_len >= 192
+    ):
+        return 1
+    from .flash_attention import _SUBLANE
+
+    return _SUBLANE

@@ -116,7 +116,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, *, scale, q_len):
+                dk_ref, dv_ref, *, scale, q_len, kv_len, block_k):
     q = q_ref[0, 0]      # [S_q, dh] (whole padded q)
     k = k_ref[0, 0]      # [bk, dh]
     v = v_ref[0, 0]
@@ -132,6 +132,13 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         # Padded q rows carry lse=0 -> p=exp(s) could overflow; mask them.
         q_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         s = jnp.where(q_ids < q_len, s, _NEG_INF)
+    # Keys at global positions >= kv_len are padding: their dk/dv rows
+    # must be exactly zero (the caller's padded key rows can carry
+    # nonzero activations under whole-network sequence padding).
+    key_ids = pl.program_id(2) * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, s.shape, 1
+    )
+    s = jnp.where(key_ids < kv_len, s, _NEG_INF)
     p = jnp.exp(s - lse)  # [S_q, bk]
 
     dv = jax.lax.dot_general(
@@ -242,16 +249,16 @@ def _head_group(h: int, sq_pad: int, sk_pad: int, n_buffers: int) -> int:
     return g
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_bhsd(q, k, v, scale, block_q, interpret):
-    out, _ = _flash_fwd(q, k, v, scale, block_q, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_bhsd(q, k, v, scale, block_q, interpret, kv_len):
+    out, _ = _flash_fwd(q, k, v, scale, block_q, interpret, kv_len)
     return out
 
 
-def _flash_fwd(q, k, v, scale, block_q, interpret):
+def _flash_fwd(q, k, v, scale, block_q, interpret, kv_len=None):
     b, h, sq, dh = q.shape
-    sk = k.shape[2]
-    sk_pad = _round_up(sk, _SUBLANE)
+    sk = kv_len if kv_len is not None else k.shape[2]
+    sk_pad = _round_up(k.shape[2], _SUBLANE)
     if block_q is None:
         block_q = _auto_block(sq, sk_pad)
     elif sq <= block_q:
@@ -303,24 +310,25 @@ def _flash_fwd(q, k, v, scale, block_q, interpret):
     return out[:, :, :sq], (q, k, v, out[:, :, :sq], lse)
 
 
-def _flash_fwd_vjp(q, k, v, scale, block_q, interpret):
-    out, res = _flash_fwd(q, k, v, scale, block_q, interpret)
+def _flash_fwd_vjp(q, k, v, scale, block_q, interpret, kv_len):
+    out, res = _flash_fwd(q, k, v, scale, block_q, interpret, kv_len)
     return out, res
 
 
-def _flash_bwd(scale, block_q, interpret, res, g):
+def _flash_bwd(scale, block_q, interpret, kv_len, res, g):
     q, k, v, out, lse = res
     b, h, sq, dh = q.shape
-    sk = k.shape[2]
-    sk_pad0 = _round_up(sk, _SUBLANE)
+    sk = kv_len if kv_len is not None else k.shape[2]
+    sk_phys = k.shape[2]
+    sk_pad0 = _round_up(sk_phys, _SUBLANE)
     if block_q is None:
         block_q = _auto_block(sq, sk_pad0, n_buffers=4)
     elif sq <= block_q:
         block_q = _round_up(sq, _SUBLANE)
     sq_pad = _round_up(sq, block_q)
     # dk/dv iterate over k blocks; ~4 [sq_pad, block_k] buffers live.
-    block_k = _auto_block(sk, sq_pad, n_buffers=4)
-    sk_pad = _round_up(sk, block_k)
+    block_k = _auto_block(sk_phys, sq_pad, n_buffers=4)
+    sk_pad = _round_up(sk_phys, block_k)
 
     # delta = rowsum(dO * O), in fp32 (cheap; computed outside the kernel).
     delta = jnp.sum(
@@ -351,7 +359,7 @@ def _flash_bwd(scale, block_q, interpret, res, g):
             ],
             interpret=interpret,
         )(qp, kp, vp, dop, lsep, deltap)
-        return dq[:, :, :sq], dk[:, :, :sk], dv[:, :, :sk]
+        return dq[:, :, :sq], dk[:, :, :sk_phys], dv[:, :, :sk_phys]
 
     q_spec = pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, i: (bi, hi, i, 0))
     qfull_spec = pl.BlockSpec((1, 1, sq_pad, dh), lambda bi, hi, i: (bi, hi, 0, 0))
@@ -370,7 +378,9 @@ def _flash_bwd(scale, block_q, interpret, res, g):
     )(qp, kp, vp, dop, lsep, deltap)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, q_len=sq),
+        functools.partial(
+            _dkv_kernel, scale=scale, q_len=sq, kv_len=sk, block_k=block_k
+        ),
         grid=(b, h, sk_pad // block_k),
         in_specs=[
             qfull_spec, kvblk_spec, kvblk_spec, qfull_spec,
@@ -384,7 +394,7 @@ def _flash_bwd(scale, block_q, interpret, res, g):
         interpret=interpret,
     )(qp, kp, vp, dop, lsep, deltap)
 
-    return dq[:, :, :sq], dk[:, :, :sk], dv[:, :, :sk]
+    return dq[:, :, :sq], dk[:, :, :sk_phys], dv[:, :, :sk_phys]
 
 
 _flash_bhsd.defvjp(_flash_fwd_vjp, _flash_bwd)
@@ -398,6 +408,7 @@ def flash_attention(
     scale: float,
     block_q: int | None = None,
     interpret: bool = False,
+    kv_len: int | None = None,
 ) -> jnp.ndarray:
     """Fused attention.
 
@@ -407,6 +418,10 @@ def flash_attention(
         neighboring ops).
       scale: softmax scale (1/sqrt(Dh)).
       interpret: run in Pallas interpreter mode (CPU tests).
+      kv_len: true key count when the caller pre-padded the sequence (keys
+        at positions >= kv_len are masked out of the softmax and their
+        dk/dv are exactly zero). Lets the whole network run at a
+        lane-friendly padded length with no per-call HBM pad ops.
 
     Returns:
       [B, Sq, H, Dh]
@@ -414,5 +429,5 @@ def flash_attention(
     qt = jnp.transpose(q, (0, 2, 1, 3))
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
-    out = _flash_bhsd(qt, kt, vt, scale, block_q, interpret)
+    out = _flash_bhsd(qt, kt, vt, scale, block_q, interpret, kv_len)
     return jnp.transpose(out, (0, 2, 1, 3))

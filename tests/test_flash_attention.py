@@ -90,3 +90,42 @@ def test_extreme_logits_stable(rng):
     q, k, v = _rand_qkv(rng, b, s, h, d)
     out = flash_attention(q * 100, k * 100, v, scale=1.0, interpret=True)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_kv_len_padded_network_exact(rng):
+    """Whole-network sequence padding: attention on pre-padded q/k/v with
+    kv_len must equal attention on the unpadded arrays — forward AND
+    gradients, with exactly-zero grads for the padded key rows even when
+    the padded rows carry nonzero activations."""
+    b, s, h, d = 2, 257, 2, 64
+    s_pad = 272
+    q, k, v = _rand_qkv(rng, b, s, h, d)
+    scale = 1.0 / np.sqrt(d)
+
+    # Padded rows intentionally NONZERO (as after a LayerNorm beta).
+    pad_fill = jnp.ones((b, s_pad - s, h, d), jnp.float32) * 0.7
+    qp, kp, vp = (jnp.concatenate([x, pad_fill], axis=1) for x in (q, k, v))
+
+    ref = flash_attention(q, k, v, scale=scale, interpret=True)
+    out = flash_attention(qp, kp, vp, scale=scale, interpret=True, kv_len=s)
+    np.testing.assert_allclose(
+        np.asarray(out[:, :s]), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+    # Gradients: cotangent zero on padded rows (as produced by the final
+    # slice in the network).
+    def loss_ref(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale=scale, interpret=True) ** 2)
+
+    def loss_pad(q, k, v):
+        o = flash_attention(q, k, v, scale=scale, interpret=True, kv_len=s)
+        return jnp.sum(o[:, :s] ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    gp = jax.grad(loss_pad, argnums=(0, 1, 2))(qp, kp, vp)
+    for a, bb in zip(gr, gp):
+        np.testing.assert_allclose(
+            np.asarray(bb[:, :s]), np.asarray(a), rtol=3e-5, atol=3e-5
+        )
+        # dk/dv (and dq) of padded rows must be exactly zero.
+        assert np.abs(np.asarray(bb[:, s:])).max() == 0.0

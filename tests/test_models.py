@@ -274,3 +274,28 @@ def test_attention_probability_dropout():
     np.testing.assert_array_equal(np.asarray(det), np.asarray(det2))
     stoch = _self_attention_block(tgt, p, 4, 0.3, jax.random.key(5), False)
     assert np.abs(np.asarray(stoch) - np.asarray(det)).sum() > 0
+
+
+def test_backbone_seq_padding_exact(monkeypatch):
+    """Whole-network sequence padding (models/vit.py): when the attention
+    kernel wants a sublane multiple, the backbone pads tokens once after
+    the pos-embed, masks them as keys, and slices before the final norm.
+    Forcing the pad on the XLA path must not change the output at all."""
+    import dinov2_od_tpu.models.vit as vit_mod
+    from dinov2_od_tpu.config import lightweight_detector_config
+    from dinov2_od_tpu.models.vit import backbone_apply, init_backbone_params
+
+    cfg = lightweight_detector_config(image_size=112).backbone
+    params = init_backbone_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0, 1, (2, 112, 112, 3)).astype(np.float32))
+
+    ref = backbone_apply(params, cfg, images, attn_impl="xla")
+
+    import dinov2_od_tpu.ops.attention as attn_mod
+    monkeypatch.setattr(attn_mod, "seq_pad_multiple", lambda *a, **k: 16)
+    padded = backbone_apply(params, cfg, images, attn_impl="xla")
+    assert padded.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(padded), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )

@@ -85,6 +85,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
     # Model architecture (reference train.py:1421-1431)
     p.add_argument("--use_deformable", type=str2bool, default=True)
+    p.add_argument("--backbone_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="backbone activation compute dtype; bfloat16 is "
+                        "~2x faster on TPU (frozen weights are then also "
+                        "stored bf16 — numerically identical since the "
+                        "forward casts anyway). float32 default matches "
+                        "the reference")
     p.add_argument("--aux_loss", type=str2bool, default=False,
                    help="deep supervision: match+score every intermediate "
                         "decoder layer (Deformable-DETR sec. 4); not in "
@@ -156,6 +163,11 @@ def build_detector_config(args) -> C.DetectorConfig:
     if args.aux_loss:
         cfg = dataclasses.replace(
             cfg, decoder=dataclasses.replace(cfg.decoder, aux_loss=True)
+        )
+    if args.backbone_dtype != cfg.backbone.dtype:
+        cfg = dataclasses.replace(
+            cfg,
+            backbone=dataclasses.replace(cfg.backbone, dtype=args.backbone_dtype),
         )
     return cfg
 

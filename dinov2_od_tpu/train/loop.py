@@ -203,6 +203,13 @@ def run_training(
         check_tp_compatible(cfg.detector, model_parallel)
     mesh = auto_mesh(cfg.data.batch_size, model_parallel, cfg=cfg.mesh)
     logger.info("device mesh: %s", dict(mesh.shape))
+    if cfg.detector.backbone.dtype == "bfloat16":
+        # Numerically identical (the forward casts to bf16 anyway); kills
+        # the per-step fp32->bf16 weight conversions and halves the frozen
+        # weights' HBM reads. LoRA/decoder/LN leaves stay fp32.
+        from ..models.detector import cast_frozen_weights
+
+        params = cast_frozen_weights(params, cfg.detector)
     params = shard_params(params, mesh, cfg=cfg.mesh)
     bsharding = batch_sharding(mesh, cfg=cfg.mesh)
 

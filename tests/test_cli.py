@@ -159,3 +159,35 @@ def test_coco_mini_indices_saved_and_reloaded(synth, tmp_path):
     assert main(args + [
         "--output_dir", out2, "--coco_mini_indices_file", idx_file,
     ]) == 0
+
+
+@pytest.mark.slow
+def test_bfloat16_backbone_train_and_resume(synth, tmp_path):
+    """--backbone_dtype bfloat16: frozen weights stored bf16
+    (cast_frozen_weights in the loop), training runs, checkpoints written
+    in bf16 restore cleanly into a resumed run (merge_compatible casts to
+    the template dtype)."""
+    images_dir, ann_file = synth
+    out = str(tmp_path / "run_bf16")
+    args = [
+        "--train_images", images_dir, "--train_annotations", ann_file,
+        "--debug", "--debug_samples", "8", "--lightweight",
+        "--image_size", "56", "--batch_size", "4", "--num_classes", "6",
+        "--output_dir", out, "--val_frequency", "100",
+        "--backbone_dtype", "bfloat16",
+    ]
+    assert main(args + ["--num_epochs", "1"]) == 0
+    ckpt = os.path.join(out, "checkpoint_epoch_0")
+    assert os.path.isdir(ckpt)
+    assert main(args + ["--num_epochs", "2", "--checkpoint", ckpt]) == 0
+
+
+def test_backbone_dtype_flag_sets_config():
+    from dinov2_od_tpu.train.cli import build_arg_parser, build_detector_config
+
+    p = build_arg_parser()
+    args = p.parse_args(["--lightweight", "--backbone_dtype", "bfloat16"])
+    cfg = build_detector_config(args)
+    assert cfg.backbone.dtype == "bfloat16"
+    args = p.parse_args(["--lightweight"])
+    assert build_detector_config(args).backbone.dtype == "float32"

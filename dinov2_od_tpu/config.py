@@ -236,6 +236,14 @@ class MeshConfig:
     # over it (mutually exclusive with tensor parallelism), and the
     # backbone token count must divide model_parallel_size.
     context_parallel: bool = False
+    # Pipeline parallelism: the backbone depth is split into
+    # model_parallel_size consecutive stages; microbatches stream
+    # through them GPipe-style (parallel/pipeline.py). Also repurposes
+    # the model axis (exclusive with TP and context_parallel); the
+    # backbone depth must divide the stage count.
+    pipeline_parallel: bool = False
+    # Microbatches for the pipeline schedule (0 -> stage count).
+    pipeline_microbatches: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

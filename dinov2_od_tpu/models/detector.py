@@ -46,6 +46,8 @@ def detector_apply(
     use_remat: bool = False,
     mesh=None,
     seq_axis: str | None = None,
+    pipe_axis: str | None = None,
+    pipe_microbatches: int = 0,
 ) -> Dict[str, jnp.ndarray]:
     """Full forward pass.
 
@@ -54,6 +56,8 @@ def detector_apply(
       mesh / seq_axis: context parallelism — forwarded to the backbone's
         ring attention when attn_impl='ring' (the decoder's 50-query
         attention never needs sequence sharding).
+      mesh / pipe_axis / pipe_microbatches: pipeline parallelism — the
+        backbone depth streams over the axis (parallel/pipeline.py).
 
     Returns:
       {"pred_logits": [B, Q, C], "pred_boxes": [B, Q, 4]}.
@@ -66,6 +70,8 @@ def detector_apply(
         use_remat=use_remat,
         mesh=mesh,
         seq_axis=seq_axis,
+        pipe_axis=pipe_axis,
+        pipe_microbatches=pipe_microbatches,
     )
     return decoder_apply(
         params["decoder"],

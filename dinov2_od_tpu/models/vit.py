@@ -203,6 +203,8 @@ def backbone_apply(
     use_remat: bool = False,
     mesh=None,
     seq_axis: str | None = None,
+    pipe_axis: str | None = None,
+    pipe_microbatches: int = 0,
 ) -> jnp.ndarray:
     """Run the backbone.
 
@@ -278,7 +280,25 @@ def backbone_apply(
     # removes ~(depth-N)/depth of the backbone backward GEMMs, attention
     # backward, and (under remat) forward recomputation.
     k = max(0, cfg.depth - cfg.lora_last_n_blocks)
-    if 0 < k < cfg.depth:
+    if pipe_axis is not None:
+        # Pipeline parallelism: the depth stack streams over the mesh
+        # axis GPipe-style. The LoRA-boundary split is expressed by
+        # stop-gradienting the prefix entries of the stacked leaves
+        # (same cotangent cut, pipeline-compatible).
+        from ..parallel.pipeline import pipeline_blocks
+
+        blocks = params["blocks"]
+        if 0 < k < cfg.depth:
+            blocks = jax.tree_util.tree_map(
+                lambda a: jnp.concatenate(
+                    [jax.lax.stop_gradient(a[:k]), a[k:]]
+                ),
+                blocks,
+            )
+        x = pipeline_blocks(
+            x, blocks, block_fn, mesh, pipe_axis, pipe_microbatches
+        )
+    elif 0 < k < cfg.depth:
         prefix = jax.tree_util.tree_map(
             lambda a: jax.lax.stop_gradient(a[:k]), params["blocks"]
         )

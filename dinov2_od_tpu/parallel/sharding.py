@@ -148,9 +148,10 @@ def param_shardings(
     params: Params, mesh: Mesh, cfg: MeshConfig = MeshConfig()
 ) -> Params:
     """NamedSharding pytree for a detector param tree."""
-    if cfg.context_parallel:
-        # The model axis carries the token dim (ring attention), not
-        # tensor parallelism: parameters replicate over it.
+    if cfg.context_parallel or cfg.pipeline_parallel:
+        # The model axis carries tokens (ring attention) or pipeline
+        # stages, not tensor shards: parameters replicate over it (the
+        # pipeline's shard_map re-slices the block stack per stage).
         return jax.tree_util.tree_map(
             lambda leaf: NamedSharding(mesh, P()), params
         )

@@ -197,9 +197,10 @@ def run_training(
         "val_epochs": [], "val_AP": [], "val_AP50": [], "val_AP75": [],
     }
 
-    if not cfg.mesh.context_parallel:
-        # Under context parallelism the model axis carries tokens, not
-        # tensor shards — TP divisibility constraints don't apply.
+    if not (cfg.mesh.context_parallel or cfg.mesh.pipeline_parallel):
+        # Under context/pipeline parallelism the model axis carries
+        # tokens/stages, not tensor shards — TP divisibility constraints
+        # don't apply.
         check_tp_compatible(cfg.detector, model_parallel)
     mesh = auto_mesh(cfg.data.batch_size, model_parallel, cfg=cfg.mesh)
     logger.info("device mesh: %s", dict(mesh.shape))

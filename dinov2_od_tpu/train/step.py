@@ -32,13 +32,21 @@ Batch = Dict[str, jnp.ndarray]
 
 
 def _cp_kwargs(cfg: TrainConfig, mesh):
-    """detector_apply kwargs for context parallelism (ring attention over
-    the model axis), when enabled in cfg.mesh; {} otherwise."""
-    if mesh is not None and cfg.mesh.context_parallel:
+    """detector_apply kwargs for context or pipeline parallelism over
+    the model axis, when enabled in cfg.mesh; {} otherwise."""
+    if mesh is None:
+        return {}
+    if cfg.mesh.context_parallel:
         return {
             "attn_impl": "ring",
             "mesh": mesh,
             "seq_axis": cfg.mesh.model_axis,
+        }
+    if cfg.mesh.pipeline_parallel:
+        return {
+            "mesh": mesh,
+            "pipe_axis": cfg.mesh.model_axis,
+            "pipe_microbatches": cfg.mesh.pipeline_microbatches,
         }
     return {}
 

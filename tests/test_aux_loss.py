@@ -23,7 +23,7 @@ from dinov2_od_tpu.train import create_train_state, make_optimizer, make_train_s
 
 
 def _cfg(aux):
-    det = lightweight_detector_config(image_size=112)
+    det = lightweight_detector_config(image_size=56)
     return dataclasses.replace(
         det, decoder=dataclasses.replace(det.decoder, aux_loss=aux)
     )
@@ -31,7 +31,7 @@ def _cfg(aux):
 
 def test_aux_outputs_shapes_and_default_off():
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.uniform(0, 1, (2, 112, 112, 3)).astype(np.float32))
+    images = jnp.asarray(rng.uniform(0, 1, (2, 56, 56, 3)).astype(np.float32))
 
     det_off = _cfg(False)
     params = init_detector_params(jax.random.key(0), det_off)
@@ -57,7 +57,7 @@ def test_aux_loss_trains_and_adds_terms():
     det = _cfg(True)
     tc = TrainConfig(
         detector=det,
-        data=DataConfig(batch_size=2, image_size=112, max_boxes=8),
+        data=DataConfig(batch_size=2, image_size=56, max_boxes=8),
         optim=OptimConfig(),
         matcher=MatcherConfig(),
     )
@@ -66,7 +66,7 @@ def test_aux_loss_trains_and_adds_terms():
     state = create_train_state(params, tc.optim, det)
     step = make_train_step(tc, tx)
 
-    raw = make_batch(np.random.default_rng(1), 2, image_size=112, max_boxes=8)
+    raw = make_batch(np.random.default_rng(1), 2, image_size=56, max_boxes=8)
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
     # Snapshot before stepping: the jitted step donates its input state.
     fc1_before = np.asarray(params["decoder"]["layers"]["fc1"]["kernel"])

@@ -28,8 +28,8 @@ from dinov2_od_tpu.train import create_train_state, make_optimizer, make_train_s
 
 @pytest.fixture(scope="module")
 def cfg():
-    det = lightweight_detector_config(image_size=112)
-    # 112/14 = 8x8 = 64 tokens (CLS dropped): divides the 4-way model axis.
+    det = lightweight_detector_config(image_size=56)
+    # 56/14 = 4x4 = 16 tokens (CLS dropped): divides the 4-way model axis.
     assert det.backbone.drop_cls_token
     return det
 
@@ -42,7 +42,7 @@ def mesh():
 def test_backbone_forward_matches_plain(cfg, mesh):
     rng = np.random.default_rng(0)
     params = init_detector_params(jax.random.key(0), cfg)
-    images = jnp.asarray(rng.uniform(0, 1, (2, 112, 112, 3)).astype(np.float32))
+    images = jnp.asarray(rng.uniform(0, 1, (2, 56, 56, 3)).astype(np.float32))
 
     plain = detector_apply(params, cfg, images, deterministic=True,
                            attn_impl="xla")
@@ -58,12 +58,13 @@ def test_backbone_forward_matches_plain(cfg, mesh):
     )
 
 
+@pytest.mark.slow
 def test_train_step_under_context_parallel_matches_plain(cfg, mesh):
     """One full train step with context_parallel=True equals the plain
     single-device step (same loss, same updated params)."""
     tc_plain = TrainConfig(
         detector=cfg,
-        data=DataConfig(batch_size=2, image_size=112, max_boxes=8),
+        data=DataConfig(batch_size=2, image_size=56, max_boxes=8),
         optim=OptimConfig(),
         matcher=MatcherConfig(),
     )
@@ -71,7 +72,7 @@ def test_train_step_under_context_parallel_matches_plain(cfg, mesh):
         tc_plain, mesh=MeshConfig(model_parallel_size=4, context_parallel=True)
     )
 
-    raw = make_batch(np.random.default_rng(1), 2, image_size=112, max_boxes=8)
+    raw = make_batch(np.random.default_rng(1), 2, image_size=56, max_boxes=8)
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
 
     def run(tc, mesh_arg):

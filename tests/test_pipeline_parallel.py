@@ -28,7 +28,7 @@ from dinov2_od_tpu.train import create_train_state, make_optimizer, make_train_s
 
 @pytest.fixture(scope="module")
 def cfg():
-    return lightweight_detector_config(image_size=112)  # ViT-S: depth 12
+    return lightweight_detector_config(image_size=56)  # ViT-S: depth 12
 
 
 @pytest.fixture(scope="module")
@@ -71,7 +71,7 @@ def test_pipeline_blocks_matches_sequential(mesh):
 def test_pipeline_backbone_forward_matches_plain(cfg, mesh):
     rng = np.random.default_rng(1)
     params = init_detector_params(jax.random.key(0), cfg)
-    images = jnp.asarray(rng.uniform(0, 1, (4, 112, 112, 3)).astype(np.float32))
+    images = jnp.asarray(rng.uniform(0, 1, (4, 56, 56, 3)).astype(np.float32))
 
     plain = detector_apply(params, cfg, images, deterministic=True,
                            attn_impl="xla")
@@ -88,10 +88,11 @@ def test_pipeline_backbone_forward_matches_plain(cfg, mesh):
     )
 
 
+@pytest.mark.slow
 def test_train_step_under_pipeline_matches_plain(cfg, mesh):
     tc_plain = TrainConfig(
         detector=cfg,
-        data=DataConfig(batch_size=4, image_size=112, max_boxes=8),
+        data=DataConfig(batch_size=4, image_size=56, max_boxes=8),
         optim=OptimConfig(),
         matcher=MatcherConfig(),
     )
@@ -100,7 +101,7 @@ def test_train_step_under_pipeline_matches_plain(cfg, mesh):
         mesh=MeshConfig(model_parallel_size=4, pipeline_parallel=True,
                         pipeline_microbatches=2),
     )
-    raw = make_batch(np.random.default_rng(2), 4, image_size=112, max_boxes=8)
+    raw = make_batch(np.random.default_rng(2), 4, image_size=56, max_boxes=8)
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
 
     def run(tc, mesh_arg):

@@ -49,16 +49,27 @@ _LOGITS_VMEM_BUDGET = 8 * 2**20
 
 
 def _auto_block(s: int, other_pad: int, n_buffers: int = 2) -> int:
-    """Largest block over `s` whose n_buffers x [block, other_pad] fp32
+    """Block size over `s` whose n_buffers x [block, other_pad] fp32
     working set fits the VMEM budget — single-block when possible
     (grid-launch overhead dominates at ViT sequence lengths; measured on
     v5e: whole-seq blocks are ~25% faster than 256-blocks at 1370 tokens).
-    The forward keeps ~2 logits-sized buffers live, the backward ~4."""
+    The forward keeps ~2 logits-sized buffers live, the backward ~4.
+
+    When `s` exceeds the VMEM cap, the dim is split into the FEWEST
+    equal blocks rather than blocks of exactly the cap: rounding s up to
+    a near-s cap multiple nearly doubles the padded length (e.g. 1376
+    tokens with cap 1232 -> round_up = 2464, a 79% compute tax on every
+    q row — observed on the ViT-L/518 trace); two 688-blocks pad to
+    1376 exactly."""
     # 16MB scoped VMEM minus ~3MB for q/k/v/do slices and outputs.
     budget = 13 * 2**20
     cap = budget // (4 * other_pad * n_buffers)
     cap = max(_SUBLANE, (cap // _SUBLANE) * _SUBLANE)
-    return min(_round_up(s, _SUBLANE), cap)
+    s_pad = _round_up(s, _SUBLANE)
+    if s_pad <= cap:
+        return s_pad
+    n_blocks = -(-s_pad // cap)
+    return _round_up(-(-s_pad // n_blocks), _SUBLANE)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):

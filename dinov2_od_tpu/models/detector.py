@@ -138,8 +138,16 @@ def fold_detector_lora(params: Params, cfg: DetectorConfig) -> Params:
     three; `detector_apply` output is bitwise-insensitive to the fold up to
     float addition order (validated in tests). Block params are stacked
     [depth, ...], so the fold is a single batched einsum per linear.
+
+    Only the adapted blocks (the last `lora_last_n_blocks`) are folded —
+    matching the apply path, which skips LoRA for earlier blocks because
+    their factors are zero by construction (zero-init B + per-block
+    masked updates).
     """
     alpha = cfg.backbone.lora_alpha
+    depth = cfg.backbone.depth
+    first = max(0, depth - cfg.backbone.lora_last_n_blocks)
+    adapted = jnp.zeros((depth, 1, 1)).at[first:].set(1.0)
     backbone = dict(params["backbone"])
     blocks = {k: (dict(v) if isinstance(v, dict) else v)
               for k, v in backbone["blocks"].items()}
@@ -147,7 +155,9 @@ def fold_detector_lora(params: Params, cfg: DetectorConfig) -> Params:
         bp = dict(blocks[lin])
         if "lora_A" in bp:
             delta = jnp.einsum("lir,lro->lio", bp["lora_A"], bp["lora_B"])
-            bp["kernel"] = bp["kernel"] + alpha * delta
+            bp["kernel"] = bp["kernel"] + alpha * delta * adapted.astype(
+                bp["kernel"].dtype
+            )
             bp["lora_A"] = jnp.zeros_like(bp["lora_A"])
             bp["lora_B"] = jnp.zeros_like(bp["lora_B"])
             blocks[lin] = bp

@@ -104,13 +104,13 @@ def _eff_kernel(p: Params, alpha: float, dtype, mode: str):
 
 def _attention(
     x: jnp.ndarray, bp: Params, cfg: BackboneConfig, attn_impl: str,
-    mesh=None, seq_axis=None, valid_len=None,
+    mesh=None, seq_axis=None, valid_len=None, lora_active=True,
 ):
     b, n, d = x.shape
     h = cfg.num_heads
     dh = d // h
     alpha = cfg.lora_alpha
-    mode = cfg.lora_mode
+    mode = cfg.lora_mode if lora_active else "skip"
 
     # One fused [D, 3D] GEMM for q/k/v (the concat is a cheap on-chip copy;
     # three separate skinny GEMMs measurably underutilize the MXU).
@@ -122,18 +122,23 @@ def _attention(
         [bp["q"]["bias"], bp["k"]["bias"], bp["v"]["bias"]]
     ).astype(x.dtype)
     qkv = x @ w_qkv + b_qkv
-    if mode != "fold" and "lora_A" in bp["q"]:
-        # Fused LoRA: x @ [A_q|A_k|A_v] then block-diagonal B per part.
+    if mode not in ("fold", "skip") and "lora_A" in bp["q"]:
+        # Fused LoRA: x @ [A_q|A_k|A_v], then ONE [3r, 3D] block-diagonal
+        # B GEMM straight into the qkv add. Materializing the three
+        # [B, N, D] deltas and concatenating them cost 0.39 ms x depth
+        # per step at ViT-L/518 (trace: maximum_add_fusion); the single
+        # GEMM's epilogue fuses into the add instead.
         a_qkv = jnp.concatenate(
             [bp["q"]["lora_A"], bp["k"]["lora_A"], bp["v"]["lora_A"]], axis=1
         ).astype(x.dtype)
         xa = x @ a_qkv  # [B, N, 3r]
         r = bp["q"]["lora_A"].shape[-1]
-        deltas = [
-            (xa[..., i * r : (i + 1) * r] @ bp[p]["lora_B"].astype(x.dtype))
-            for i, p in enumerate(("q", "k", "v"))
-        ]
-        qkv = qkv + alpha * jnp.concatenate(deltas, axis=-1)
+        b_diag = jnp.zeros((3 * r, 3 * d), x.dtype)
+        for i, p in enumerate(("q", "k", "v")):
+            b_diag = jax.lax.dynamic_update_slice(
+                b_diag, bp[p]["lora_B"].astype(x.dtype), (i * r, i * d)
+            )
+        qkv = qkv + alpha * (xa @ b_diag)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(b, n, h, dh)
     k = k.reshape(b, n, h, dh)
@@ -142,36 +147,42 @@ def _attention(
         q, k, v, impl=attn_impl, mesh=mesh, seq_axis=seq_axis,
         kv_valid_len=valid_len,
     ).reshape(b, n, d)
-    return _maybe_lora(out, bp["proj"], cfg)
+    return _maybe_lora(out, bp["proj"], cfg, lora_active)
 
 
-def _maybe_lora(x: jnp.ndarray, p: Params, cfg: BackboneConfig) -> jnp.ndarray:
+def _maybe_lora(
+    x: jnp.ndarray, p: Params, cfg: BackboneConfig, active: bool = True
+) -> jnp.ndarray:
+    if not active:
+        return linear(x, p)
     if cfg.lora_mode == "fold" and "lora_A" in p:
         w = _eff_kernel(p, cfg.lora_alpha, x.dtype, "fold")
         return x @ w + p["bias"].astype(x.dtype)
     return lora_linear(x, p, cfg.lora_alpha)
 
 
-def _ffn(x: jnp.ndarray, bp: Params, cfg: BackboneConfig):
-    h = _maybe_lora(x, bp["fc1"], cfg)
+def _ffn(x: jnp.ndarray, bp: Params, cfg: BackboneConfig, lora_active=True):
+    h = _maybe_lora(x, bp["fc1"], cfg, lora_active)
     if cfg.ffn_type == "swiglu":
         x1, x2 = jnp.split(h, 2, axis=-1)
         h = jax.nn.silu(x1) * x2
     else:
         h = jax.nn.gelu(h, approximate=cfg.gelu_approximate)
-    return _maybe_lora(h, bp["fc2"], cfg)
+    return _maybe_lora(h, bp["fc2"], cfg, lora_active)
 
 
 def _block_apply(
     x: jnp.ndarray, bp: Params, cfg: BackboneConfig, attn_impl: str,
-    mesh=None, seq_axis=None, valid_len=None,
+    mesh=None, seq_axis=None, valid_len=None, lora_active=True,
 ):
     """Pre-norm ViT block with LayerScale (HF Dinov2Layer semantics)."""
     x = x + bp["ls1"].astype(x.dtype) * _attention(
         layer_norm(x, bp["ln1"]), bp, cfg, attn_impl, mesh, seq_axis,
-        valid_len,
+        valid_len, lora_active,
     )
-    x = x + bp["ls2"].astype(x.dtype) * _ffn(layer_norm(x, bp["ln2"]), bp, cfg)
+    x = x + bp["ls2"].astype(x.dtype) * _ffn(
+        layer_norm(x, bp["ln2"]), bp, cfg, lora_active
+    )
     return x
 
 
@@ -258,16 +269,21 @@ def backbone_apply(
     if s_pad != seq:
         x = jnp.pad(x, ((0, 0), (0, s_pad - seq), (0, 0)))
 
-    block_fn = lambda carry, bp: (
-        _block_apply(carry, bp, cfg, attn_impl, mesh, seq_axis, valid_len),
-        None,
-    )
-    if use_remat:
-        block_fn = jax.checkpoint(block_fn)
+    def make_block_fn(lora_active):
+        fn = lambda carry, bp: (
+            _block_apply(
+                carry, bp, cfg, attn_impl, mesh, seq_axis, valid_len,
+                lora_active,
+            ),
+            None,
+        )
+        return jax.checkpoint(fn) if use_remat else fn
 
-    def run_blocks(x, blocks, length):
+    block_fn = make_block_fn(True)
+
+    def run_blocks(x, blocks, length, fn):
         unroll = min(cfg.scan_unroll, length) if cfg.scan_unroll > 0 else length
-        x, _ = jax.lax.scan(block_fn, x, blocks, unroll=unroll)
+        x, _ = jax.lax.scan(fn, x, blocks, unroll=unroll)
         return x
 
     # Split the depth scan at the LoRA boundary: blocks below the last
@@ -299,14 +315,22 @@ def backbone_apply(
             x, blocks, block_fn, mesh, pipe_axis, pipe_microbatches
         )
     elif 0 < k < cfg.depth:
+        # The prefix also skips the LoRA compute entirely: non-adapted
+        # blocks' factors are zero by construction (B zero-init +
+        # per-block masked updates, models/detector.py), so their delta
+        # GEMMs and [*, 3D]-wide adds are pure waste — measured ~0.4
+        # ms/block/step at ViT-L/518.
         prefix = jax.tree_util.tree_map(
             lambda a: jax.lax.stop_gradient(a[:k]), params["blocks"]
         )
         suffix = jax.tree_util.tree_map(lambda a: a[k:], params["blocks"])
-        x = run_blocks(x, prefix, k)
-        x = run_blocks(x, suffix, cfg.depth - k)
+        x = run_blocks(x, prefix, k, make_block_fn(False))
+        x = run_blocks(x, suffix, cfg.depth - k, block_fn)
     else:
-        x = run_blocks(x, params["blocks"], cfg.depth)
+        x = run_blocks(
+            x, params["blocks"], cfg.depth,
+            make_block_fn(cfg.lora_last_n_blocks > 0),
+        )
 
     if s_pad != seq:
         x = x[:, :seq]

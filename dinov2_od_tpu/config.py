@@ -245,6 +245,13 @@ class MeshConfig:
     # Microbatches for the pipeline schedule (0 -> stage count).
     pipeline_microbatches: int = 0
 
+    def __post_init__(self):
+        if self.context_parallel and self.pipeline_parallel:
+            raise ValueError(
+                "context_parallel and pipeline_parallel both claim the "
+                "model axis — enable at most one"
+            )
+
 
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:

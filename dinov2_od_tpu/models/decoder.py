@@ -217,8 +217,10 @@ def decoder_apply(
     )
 
     # Intermediate layer outputs are collected (scan ys) only when the
-    # aux-loss head needs them; DETR-style deep supervision.
-    collect = cfg.aux_loss
+    # aux-loss head needs them — i.e. in train mode; eval never reads
+    # them, so collecting there would be (L-1) wasted head GEMMs per
+    # batch. DETR-style deep supervision.
+    collect = cfg.aux_loss and not deterministic
     if rng is not None:
         xs = (params["layers"], jax.random.split(rng, cfg.num_layers))
         body_fn = lambda c, x: (

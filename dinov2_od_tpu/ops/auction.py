@@ -168,10 +168,17 @@ def auction_assign(
     row_of_col = jnp.full((n,), -1, jnp.int32)
 
     for phase_eps in eps_phases:
+        # Phase start clears the assignment (coarse-eps pairs must be
+        # re-verified at the finer eps) — but ONLY while round budget
+        # remains: if an earlier phase exhausted it, clearing here would
+        # discard the entire coarse assignment (the while below would
+        # not run) and leave the greedy completion to emit an arbitrary
+        # pairing. With no budget left, carry the previous phase's
+        # result through instead.
         init = (
             prices,
-            jnp.full((m,), -1, jnp.int32),
-            jnp.full((n,), -1, jnp.int32),
+            jnp.where(budget > 0, jnp.full((m,), -1, jnp.int32), col_of_row),
+            jnp.where(budget > 0, jnp.full((n,), -1, jnp.int32), row_of_col),
             budget,
         )
 
@@ -211,10 +218,3 @@ def auction_assign(
         -1,
     )
     return jnp.where(row_of_col >= 0, row_of_col, fill).astype(jnp.int32)
-
-
-# Batched version: every auction round is a full [B, M, N] tensor op, so
-# the whole batch solves in lockstep with near-perfect VPU utilization.
-auction_assign_batched = jax.jit(
-    jax.vmap(auction_assign, in_axes=(0, 0, 0))
-)

@@ -348,7 +348,18 @@ def _flash_bwd(scale, block_q, interpret, kv_len, res, g):
 
     qp, kp, vp = _pad_seq(q, sq_pad), _pad_seq(k, sk_pad), _pad_seq(v, sk_pad)
     dop = _pad_seq(g, sq_pad)
-    lsep = lse  # saved at padded length by the forward
+    # lse was saved at the FORWARD's padded length, which can differ from
+    # the backward's (different n_buffers -> different auto block). It
+    # must be exactly sq_pad rows: shorter would make the pallas specs
+    # read past the array (undefined values -> exp(s - garbage) NaNs in
+    # dk/dv; the q_len mask then zeroes the padded rows of the zero-pad).
+    lse_len = lse.shape[2]
+    if lse_len < sq_pad:
+        lsep = _pad_seq(lse, sq_pad)
+    elif lse_len > sq_pad:
+        lsep = lse[:, :, :sq_pad]
+    else:
+        lsep = lse
     deltap = _pad_seq(delta, sq_pad)
 
     g_bwd = _head_group(h, sq_pad, sk_pad, n_buffers=5)

@@ -39,16 +39,24 @@ def test_aux_outputs_shapes_and_default_off():
     assert "aux_outputs" not in out_off
 
     det_on = _cfg(True)
-    out_on = detector_apply(params, det_on, images)
+    # Eval mode never collects intermediates (nothing reads them).
+    assert "aux_outputs" not in detector_apply(params, det_on, images)
+    out_on = detector_apply(
+        params, det_on, images, deterministic=False, rng=jax.random.key(1)
+    )
     L = det_on.decoder.num_layers
     assert len(out_on["aux_outputs"]) == L - 1
     for aux in out_on["aux_outputs"]:
         assert aux["pred_logits"].shape == out_on["pred_logits"].shape
         assert aux["pred_boxes"].shape == out_on["pred_boxes"].shape
     # Final outputs are identical with/without collection (same final
-    # layer, same heads).
+    # layer, same heads, same dropout rng).
+    out_off_train = detector_apply(
+        params, det_off, images, deterministic=False, rng=jax.random.key(1)
+    )
     np.testing.assert_allclose(
-        np.asarray(out_on["pred_logits"]), np.asarray(out_off["pred_logits"]),
+        np.asarray(out_on["pred_logits"]),
+        np.asarray(out_off_train["pred_logits"]),
         rtol=1e-6, atol=1e-6,
     )
 

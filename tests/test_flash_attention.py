@@ -129,3 +129,32 @@ def test_kv_len_padded_network_exact(rng):
         )
         # dk/dv (and dq) of padded rows must be exactly zero.
         assert np.abs(np.asarray(bb[:, s:])).max() == 0.0
+
+
+def test_backward_block_mismatch_no_nan():
+    """Regression: at S=1370 (ViT-L/518) the backward's auto-block pads
+    the q dim to MORE rows than the forward (different VMEM buffer
+    counts), and the saved lse used to be passed through at the
+    forward's shorter length — the pallas specs then read past the
+    array and dk/dv came back NaN. lse must be normalized to the
+    backward's padded length."""
+    rng = np.random.default_rng(11)
+    b, s, h, d = 1, 1370, 1, 64
+    q, k, v = _rand_qkv(rng, b, s, h, d)
+    scale = 1.0 / np.sqrt(d)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale=scale, interpret=True) ** 2)
+
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in (gq, gk, gv):
+        assert np.isfinite(np.asarray(g)).all()
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, scale) ** 2)
+
+    rq, rk, rv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, bb in ((gq, rq), (gk, rk), (gv, rv)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=5e-4, atol=5e-4
+        )

@@ -158,10 +158,12 @@ class MatcherConfig:
     focal_gamma: float = 2.0
     # Assignment solver: 'jv' (exact Jonker-Volgenant, sequential
     # augmenting paths), 'auction' (eps-optimal parallel bidding rounds,
-    # ~30x faster at COCO GT density), or 'auto' (jv below
-    # auction_threshold, auction at/above it).
+    # ~12x faster at COCO GT density), or 'auto' (jv below
+    # auction_threshold padded GT slots, auction at/above it). Measured
+    # crossover on v5e (B=32, Q=50): G=32 jv 4.1 ms vs auction 7.6; G=64
+    # jv 35.5 vs auction 3.0 — 40 keeps jv only where it clearly wins.
     assignment: str = "auto"
-    auction_threshold: int = 64
+    auction_threshold: int = 40
 
 
 @dataclasses.dataclass(frozen=True)

@@ -46,6 +46,7 @@ def detector_apply(
     use_remat: bool = False,
     mesh=None,
     seq_axis: str | None = None,
+    batch_axis: str | None = None,
     pipe_axis: str | None = None,
     pipe_microbatches: int = 0,
 ) -> Dict[str, jnp.ndarray]:
@@ -70,6 +71,7 @@ def detector_apply(
         use_remat=use_remat,
         mesh=mesh,
         seq_axis=seq_axis,
+        batch_axis=batch_axis,
         pipe_axis=pipe_axis,
         pipe_microbatches=pipe_microbatches,
     )
@@ -155,7 +157,11 @@ def fold_detector_lora(params: Params, cfg: DetectorConfig) -> Params:
         bp = dict(blocks[lin])
         if "lora_A" in bp:
             delta = jnp.einsum("lir,lro->lio", bp["lora_A"], bp["lora_B"])
-            bp["kernel"] = bp["kernel"] + alpha * delta * adapted.astype(
+            # Cast the fp32 delta to the kernel's storage dtype BEFORE the
+            # add: on a cast_frozen_weights (bf16) model the fold must not
+            # silently promote the kernel back to fp32 — and the apply
+            # path computes the LoRA delta in the activation dtype anyway.
+            bp["kernel"] = bp["kernel"] + (alpha * delta * adapted).astype(
                 bp["kernel"].dtype
             )
             bp["lora_A"] = jnp.zeros_like(bp["lora_A"])

@@ -49,6 +49,7 @@ def multi_head_attention(
     dropout_rng: jnp.ndarray | None = None,
     mesh=None,
     seq_axis: str | None = None,
+    batch_axis: str | None = None,
     kv_valid_len: int | None = None,
 ) -> jnp.ndarray:
     """Scaled dot-product attention over heads.
@@ -95,12 +96,21 @@ def multi_head_attention(
             q, k, v = (jnp.pad(x, padw) for x in (q, k, v))
         out = ring_attention(
             q, k, v, scale=scale, mesh=mesh, axis=seq_axis,
-            valid_len=s if pad else None,
+            batch_axis=batch_axis, valid_len=s if pad else None,
         )
         return out[:, :s] if pad else out
     if impl == "auto":
         impl = "pallas" if (_pallas_eligible(q, k) and not use_dropout) else "xla"
-    if impl == "pallas" and not use_dropout:
+    if impl == "pallas":
+        if use_dropout:
+            # Same contract as impl='ring': an explicitly requested fused
+            # kernel cannot honor probability dropout (the probabilities
+            # are never materialized) — fail loudly rather than silently
+            # computing something else. 'auto' still downgrades to XLA.
+            raise ValueError(
+                "attention-probability dropout is not supported by the "
+                "Pallas flash kernel; use impl='auto' or 'xla' with dropout"
+            )
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale, kv_len=kv_valid_len)

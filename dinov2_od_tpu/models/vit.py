@@ -105,6 +105,7 @@ def _eff_kernel(p: Params, alpha: float, dtype, mode: str):
 def _attention(
     x: jnp.ndarray, bp: Params, cfg: BackboneConfig, attn_impl: str,
     mesh=None, seq_axis=None, valid_len=None, lora_active=True,
+    batch_axis=None,
 ):
     b, n, d = x.shape
     h = cfg.num_heads
@@ -145,7 +146,7 @@ def _attention(
     v = v.reshape(b, n, h, dh)
     out = multi_head_attention(
         q, k, v, impl=attn_impl, mesh=mesh, seq_axis=seq_axis,
-        kv_valid_len=valid_len,
+        batch_axis=batch_axis, kv_valid_len=valid_len,
     ).reshape(b, n, d)
     return _maybe_lora(out, bp["proj"], cfg, lora_active)
 
@@ -174,11 +175,12 @@ def _ffn(x: jnp.ndarray, bp: Params, cfg: BackboneConfig, lora_active=True):
 def _block_apply(
     x: jnp.ndarray, bp: Params, cfg: BackboneConfig, attn_impl: str,
     mesh=None, seq_axis=None, valid_len=None, lora_active=True,
+    batch_axis=None,
 ):
     """Pre-norm ViT block with LayerScale (HF Dinov2Layer semantics)."""
     x = x + bp["ls1"].astype(x.dtype) * _attention(
         layer_norm(x, bp["ln1"]), bp, cfg, attn_impl, mesh, seq_axis,
-        valid_len, lora_active,
+        valid_len, lora_active, batch_axis,
     )
     x = x + bp["ls2"].astype(x.dtype) * _ffn(
         layer_norm(x, bp["ln2"]), bp, cfg, lora_active
@@ -214,6 +216,7 @@ def backbone_apply(
     use_remat: bool = False,
     mesh=None,
     seq_axis: str | None = None,
+    batch_axis: str | None = None,
     pipe_axis: str | None = None,
     pipe_microbatches: int = 0,
 ) -> jnp.ndarray:
@@ -273,7 +276,7 @@ def backbone_apply(
         fn = lambda carry, bp: (
             _block_apply(
                 carry, bp, cfg, attn_impl, mesh, seq_axis, valid_len,
-                lora_active,
+                lora_active, batch_axis,
             ),
             None,
         )

@@ -8,6 +8,18 @@ chip's memory: Q stays local, K/V blocks rotate around the ring via
 in log-sum-exp form — the classic flash/ring decomposition, expressed with
 `shard_map` so XLA schedules the collective-compute overlap.
 
+Memory behavior (the reason CP exists): the inner loop is BLOCKWISE — per
+ring step the local K/V shard is consumed in key sub-blocks with an
+online-softmax carry, so the largest live logits tile is
+[B, H, Sq_loc, block] fp32 (block <= 512) instead of the full
+[B, H, Sq_loc, Sk_loc] — forward attention memory is linear in the local
+sequence. The sub-block body is `jax.checkpoint`ed, so the backward
+recomputes probabilities per block instead of saving them (the same
+recompute-not-store property as the flash kernel). What the backward does
+keep is the per-ring-step K/V carries (AD through the rotation), i.e.
+O(global KV) per device — the standard ring-attention AD cost; removing
+it would need a hand-written reverse-rotation VJP.
+
 Exactness: identical to full attention up to fp32 summation order
 (validated against the XLA path on an 8-device CPU mesh in
 tests/test_ring_attention.py), including the backward pass (shard_map +
@@ -24,6 +36,11 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
+# Target key-block width for the inner loop: one fp32 logits tile
+# [B, H, Sq_loc, 512] stays VMEM/cache-friendly while keeping the MXU
+# matmuls wide enough to be efficient.
+_RING_BLOCK = 512
+
 
 def ring_attention(
     q: jnp.ndarray,
@@ -33,7 +50,9 @@ def ring_attention(
     scale: float,
     mesh: Mesh,
     axis: str = "data",
+    batch_axis: str | None = None,
     valid_len: int | None = None,
+    block_size: int | None = None,
 ) -> jnp.ndarray:
     """Exact attention with S sharded over `axis`.
 
@@ -41,10 +60,19 @@ def ring_attention(
       q, k, v: [B, S, H, Dh] global arrays, sequence dim sharded over
         `axis` (S must divide evenly by the axis size).
       mesh: the device mesh containing `axis`.
+      batch_axis: mesh axis the batch dim is sharded over (DP x CP).
+        Without it the shard_map in_specs would all-gather the batch over
+        the data axis and every device would compute ring attention for
+        the full global batch — dp-times redundant compute plus
+        resharding collectives per call.
       valid_len: if set, keys at global positions >= valid_len are
         masked out (finite -1e30 logits, so a fully-masked first ring
-        block cannot NaN the running softmax). Lets callers pad S up to
-        a shard multiple without changing the result for real queries.
+        block cannot NaN the running softmax — bogus contributions are
+        washed out by the exp(m_old - m_new) = 0 correction once a real
+        key appears). Lets callers pad S up to a shard multiple without
+        changing the result for real queries.
+      block_size: inner key-block width (None -> min(shard, 512)); the
+        shard is split into the fewest equal blocks of at most this size.
 
     Returns:
       [B, S, H, Dh], sharded like q.
@@ -55,35 +83,73 @@ def ring_attention(
         my = jax.lax.axis_index(axis)
 
         b, sq, h, dh = q_loc.shape
+        sk = k_loc.shape[1]  # == sq (equal shards)
+
+        # Fewest equal key sub-blocks of <= target width; pad the local
+        # K/V once so every block is full (padded keys are masked).
+        target = block_size or _RING_BLOCK
+        n_sub = -(-sk // target)
+        block = -(-sk // n_sub)
+        pad = n_sub * block - sk
+        if pad:
+            padw = ((0, 0), (0, pad), (0, 0), (0, 0))
+            k_loc = jnp.pad(k_loc, padw)
+            v_loc = jnp.pad(v_loc, padw)
+        needs_mask = pad > 0 or valid_len is not None
+
         m0 = jnp.full((b, h, sq), -jnp.inf, jnp.float32)
         l0 = jnp.zeros((b, h, sq), jnp.float32)
         o0 = jnp.zeros((b, sq, h, dh), jnp.float32)
 
-        def body(i, carry):
-            m, l, o, k_cur, v_cur = carry
+        def one_block(m, l, o, k_blk, v_blk, key_valid):
+            """Online-softmax update for one [block]-wide key slab."""
             s = (
-                jnp.einsum("bqhd,bkhd->bhqk", q_loc, k_cur).astype(jnp.float32)
+                jnp.einsum("bqhd,bkhd->bhqk", q_loc, k_blk).astype(jnp.float32)
                 * scale
             )
-            if valid_len is not None:
-                # After i rotations this device holds the K/V shard that
-                # originated on ring position (my - i) mod n.
-                src = jax.lax.rem(my - i + n, n)
-                kpos = src * sq + jnp.arange(sq)
-                s = jnp.where(kpos[None, None, None, :] < valid_len, s, -1e30)
+            if needs_mask:
+                s = jnp.where(key_valid[None, None, None, :], s, -1e30)
             m_blk = jnp.max(s, axis=-1)
             m_new = jnp.maximum(m, m_blk)
             p = jnp.exp(s - m_new[..., None])
             corr = jnp.exp(m - m_new)
             l = l * corr + jnp.sum(p, axis=-1)
             o = o * jnp.transpose(corr, (0, 2, 1))[..., None] + jnp.einsum(
-                "bhqk,bkhd->bqhd", p.astype(v_cur.dtype), v_cur
+                "bhqk,bkhd->bqhd", p.astype(v_blk.dtype), v_blk
             ).astype(jnp.float32)
+            return m_new, l, o
+
+        # Recompute probabilities in the backward instead of storing a
+        # [B, H, Sq, block] tile per sub-block (q_loc is loop-invariant,
+        # hoisted once by the scan conversion).
+        one_block = jax.checkpoint(one_block)
+
+        def body(i, carry):
+            m, l, o, k_cur, v_cur = carry
+            # After i rotations this device holds the K/V shard that
+            # originated on ring position (my - i) mod n.
+            src = jax.lax.rem(my - i + n, n)
+
+            def sub(j, c):
+                m, l, o = c
+                k_blk = jax.lax.dynamic_slice_in_dim(
+                    k_cur, j * block, block, axis=1
+                )
+                v_blk = jax.lax.dynamic_slice_in_dim(
+                    v_cur, j * block, block, axis=1
+                )
+                lp = j * block + jnp.arange(block)
+                key_valid = lp < sk
+                if valid_len is not None:
+                    key_valid = key_valid & (src * sk + lp < valid_len)
+                return one_block(m, l, o, k_blk, v_blk, key_valid)
+
+            m, l, o = jax.lax.fori_loop(0, n_sub, sub, (m, l, o))
             # Rotate k/v to the next ring neighbor.
-            perm = [(j, (j + 1) % n) for j in range(n)]
+            perm = [(jj, (jj + 1) % n) for jj in range(n)]
             k_cur = jax.lax.ppermute(k_cur, axis, perm)
             v_cur = jax.lax.ppermute(v_cur, axis, perm)
-            return (m_new, l, o, k_cur, v_cur)
+            return (m, l, o, k_cur, v_cur)
 
         m, l, o, _, _ = jax.lax.fori_loop(
             0, n, body, (m0, l0, o0, k_loc, v_loc)
@@ -91,7 +157,7 @@ def ring_attention(
         out = o / jnp.transpose(l, (0, 2, 1))[..., None]
         return out.astype(q_loc.dtype)
 
-    spec = P(None, axis, None, None)
+    spec = P(batch_axis, axis, None, None)
     return shard_map(
         local,
         mesh=mesh,

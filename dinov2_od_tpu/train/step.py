@@ -41,6 +41,10 @@ def _cp_kwargs(cfg: TrainConfig, mesh):
             "attn_impl": "ring",
             "mesh": mesh,
             "seq_axis": cfg.mesh.model_axis,
+            # Keep attention compute data-sharded under DP x CP: without
+            # this the shard_map in_specs all-gather the batch over the
+            # data axis (dp-times redundant compute per device).
+            "batch_axis": cfg.mesh.data_axis,
         }
     if cfg.mesh.pipeline_parallel:
         return {

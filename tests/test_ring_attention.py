@@ -62,6 +62,66 @@ def test_backward_matches_full_attention(rng, mesh):
         )
 
 
+@pytest.mark.parametrize("block_size", [5, 16])
+def test_blockwise_inner_loop_exact(rng, mesh, block_size):
+    """Forcing the inner loop into multiple key sub-blocks (including a
+    non-divisible width -> intra-shard padding) must not change the
+    result or its gradients."""
+    b, s, h, d = 1, 128, 2, 8  # shard = 16 keys -> 4x5(+pad) or 1x16 blocks
+    q, k, v = _qkv(rng, b, s, h, d)
+    scale = 1.0 / np.sqrt(d)
+    sharding = NamedSharding(mesh, P(None, "data", None, None))
+    qs, ks, vs = (jax.device_put(x, sharding) for x in (q, k, v))
+
+    out = ring_attention(
+        qs, ks, vs, scale=scale, mesh=mesh, block_size=block_size
+    )
+    ref = _xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+    def loss_ring(q, k, v):
+        return jnp.sum(
+            ring_attention(
+                q, k, v, scale=scale, mesh=mesh, block_size=block_size
+            ) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, scale) ** 2)
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(qs, ks, vs)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ring, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-5, atol=5e-5
+        )
+
+
+def test_blockwise_with_valid_len(rng, mesh):
+    """Sub-blocking composes with the global valid_len key mask: padded
+    global positions stay masked regardless of which sub-block they land
+    in after rotation."""
+    b, s_real, h, d = 1, 100, 2, 8
+    q, k, v = _qkv(rng, b, s_real, h, d)
+    scale = 1.0 / np.sqrt(d)
+    # Pad to a shard multiple (8 devices): 100 -> 104.
+    s_pad = 104
+    padw = ((0, 0), (0, s_pad - s_real), (0, 0), (0, 0))
+    qp, kp, vp = (jnp.pad(x, padw) for x in (q, k, v))
+    sharding = NamedSharding(mesh, P(None, "data", None, None))
+    qs, ks, vs = (jax.device_put(x, sharding) for x in (qp, kp, vp))
+
+    out = ring_attention(
+        qs, ks, vs, scale=scale, mesh=mesh, valid_len=s_real, block_size=5
+    )
+    ref = _xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :s_real], np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_jit_composes_with_mesh(rng, mesh):
     b, s, h, d = 1, 64, 2, 8
     q, k, v = _qkv(rng, b, s, h, d)

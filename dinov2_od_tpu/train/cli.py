@@ -67,7 +67,22 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--dist_url", type=str, default="env://",
                    help="accepted for compatibility; ignored")
     p.add_argument("--model_parallel", type=int, default=1,
-                   help="tensor-parallel size (mesh 'model' axis)")
+                   help="model-axis size of the mesh: tensor parallelism "
+                        "by default; repurposed as the sequence axis "
+                        "under --context_parallel or the stage axis under "
+                        "--pipeline_parallel")
+    p.add_argument("--context_parallel", action="store_true",
+                   help="context (sequence) parallelism: backbone "
+                        "attention runs as ring attention with tokens "
+                        "sharded over the model axis (requires "
+                        "--model_parallel > 1; exclusive with TP/PP)")
+    p.add_argument("--pipeline_parallel", action="store_true",
+                   help="pipeline parallelism: backbone depth splits into "
+                        "--model_parallel GPipe stages (exclusive with "
+                        "TP/CP)")
+    p.add_argument("--pipeline_microbatches", type=int, default=0,
+                   help="microbatches for the pipeline schedule "
+                        "(0 -> stage count)")
 
     # Debug / overfit (reference train.py:1397-1406)
     p.add_argument("--debug", action="store_true")
@@ -173,7 +188,13 @@ def build_detector_config(args) -> C.DetectorConfig:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
-    args = build_arg_parser().parse_args(argv)
+    parser = build_arg_parser()
+    args = parser.parse_args(argv)
+    if args.context_parallel and args.pipeline_parallel:
+        parser.error(
+            "--context_parallel and --pipeline_parallel both claim the "
+            "model axis; enable at most one"
+        )
 
     import jax  # deferred so --help stays fast
 
@@ -233,6 +254,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         num_epochs = num_epochs or 100
         learning_rate = learning_rate or args.debug_lr
 
+    mesh_cfg = C.MeshConfig(
+        model_parallel_size=args.model_parallel,
+        context_parallel=args.context_parallel,
+        pipeline_parallel=args.pipeline_parallel,
+        pipeline_microbatches=args.pipeline_microbatches,
+    )
+
     cfg = C.TrainConfig(
         detector=det_cfg,
         data=C.DataConfig(
@@ -243,6 +271,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         optim=C.OptimConfig(),
         matcher=matcher_cfg,
         loss=loss_cfg,
+        mesh=mesh_cfg,
         num_epochs=num_epochs or 50,
         debug=args.debug,
     )
@@ -293,11 +322,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.only_evaluate:
         from ..parallel.sharding import check_tp_compatible
 
-        check_tp_compatible(cfg.detector, args.model_parallel)
-        eval_step = make_eval_step(cfg)
-        mesh = auto_mesh(args.batch_size, args.model_parallel)
-        params = shard_params(params, mesh)
-        bsh = batch_sharding(mesh)
+        if not (cfg.mesh.context_parallel or cfg.mesh.pipeline_parallel):
+            # CP/PP repurpose the model axis for tokens/stages; TP
+            # divisibility constraints only apply to tensor parallelism.
+            check_tp_compatible(cfg.detector, args.model_parallel)
+        mesh = auto_mesh(args.batch_size, args.model_parallel, cfg=cfg.mesh)
+        eval_step = make_eval_step(cfg, mesh=mesh)
+        params = shard_params(params, mesh, cfg=cfg.mesh)
+        bsh = batch_sharding(mesh, cfg=cfg.mesh)
         if args.testdev_images:
             ds = CocoTestDataset(
                 args.testdev_images, None, args.image_size, normalize

@@ -182,6 +182,62 @@ def test_bfloat16_backbone_train_and_resume(synth, tmp_path):
     assert main(args + ["--num_epochs", "2", "--checkpoint", ckpt]) == 0
 
 
+@pytest.mark.slow
+def test_context_parallel_via_cli(synth, tmp_path):
+    """--context_parallel trains end-to-end (ring attention over the
+    model axis of the 8-device CPU mesh) and --only_evaluate builds its
+    eval step under the same mesh (VERDICT r2 item 4)."""
+    images_dir, ann_file = synth
+    out = str(tmp_path / "run_cp")
+    args = [
+        "--train_images", images_dir, "--train_annotations", ann_file,
+        "--debug", "--debug_samples", "8", "--lightweight",
+        "--image_size", "56", "--batch_size", "4", "--num_classes", "6",
+        "--output_dir", out, "--val_frequency", "100",
+        "--model_parallel", "2", "--context_parallel",
+    ]
+    assert main(args + ["--num_epochs", "1"]) == 0
+    hist_file = os.path.join(out, "checkpoint_epoch_0", "metrics_history.json")
+    with open(hist_file) as f:
+        hist = json.load(f)
+    assert np.isfinite(hist["train_loss"][0])
+    # Eval path under the CP mesh (previously built without a mesh).
+    assert main([
+        "--only_evaluate", "--val_images", images_dir,
+        "--val_annotations", ann_file,
+        "--lightweight", "--image_size", "56", "--batch_size", "4",
+        "--num_classes", "6", "--output_dir", str(tmp_path / "run_cp_eval"),
+        "--model_parallel", "2", "--context_parallel",
+    ]) == 0
+
+
+@pytest.mark.slow
+def test_pipeline_parallel_via_cli(synth, tmp_path):
+    """--pipeline_parallel trains end-to-end: backbone depth split into
+    --model_parallel GPipe stages on the 8-device CPU mesh."""
+    images_dir, ann_file = synth
+    out = str(tmp_path / "run_pp")
+    assert main([
+        "--train_images", images_dir, "--train_annotations", ann_file,
+        "--debug", "--debug_samples", "8", "--lightweight",
+        # batch must divide data_shards (4) x microbatches (2)
+        "--image_size", "56", "--batch_size", "8", "--num_classes", "6",
+        "--output_dir", out, "--val_frequency", "100",
+        "--model_parallel", "2", "--pipeline_parallel",
+        "--pipeline_microbatches", "2", "--num_epochs", "1",
+    ]) == 0
+    hist_file = os.path.join(out, "checkpoint_epoch_0", "metrics_history.json")
+    with open(hist_file) as f:
+        hist = json.load(f)
+    assert np.isfinite(hist["train_loss"][0])
+
+
+def test_cp_pp_flags_exclusive():
+    with pytest.raises(SystemExit):
+        main(["--context_parallel", "--pipeline_parallel",
+              "--only_evaluate"])
+
+
 def test_backbone_dtype_flag_sets_config():
     from dinov2_od_tpu.train.cli import build_arg_parser, build_detector_config
 

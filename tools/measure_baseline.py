@@ -115,6 +115,216 @@ def measure(batch_size: int, steps: int, model_name: str, use_deformable: bool,
     }
 
 
+def _stub_and_import_reference(variant: str, seed: int):
+    """Import the reference package with pycocotools stubbed and
+    from_pretrained patched to seeded random init (no network egress)."""
+    sys.path.insert(0, REFERENCE)
+    import types
+
+    if "pycocotools" not in sys.modules:
+        pm = types.ModuleType("pycocotools")
+        pm.coco = types.ModuleType("pycocotools.coco")
+        pm.coco.COCO = object
+        pm.cocoeval = types.ModuleType("pycocotools.cocoeval")
+        pm.cocoeval.COCOeval = object
+        sys.modules["pycocotools"] = pm
+        sys.modules["pycocotools.coco"] = pm.coco
+        sys.modules["pycocotools.cocoeval"] = pm.cocoeval
+
+    import torch
+    import transformers
+    from transformers import Dinov2Config, Dinov2Model
+
+    dims = {"small": 384, "base": 768, "large": 1024}
+    depth = {"small": 12, "base": 12, "large": 24}[variant]
+    heads = {"small": 6, "base": 12, "large": 16}[variant]
+
+    def fake_from_pretrained(cls, *a, **k):
+        torch.manual_seed(seed)
+        cfg = Dinov2Config(
+            hidden_size=dims[variant], num_hidden_layers=depth,
+            num_attention_heads=heads, intermediate_size=dims[variant] * 4,
+            image_size=518, patch_size=14,
+        )
+        return Dinov2Model(cfg)
+
+    transformers.Dinov2Model.from_pretrained = classmethod(fake_from_pretrained)
+
+
+def measure_ap(args) -> dict:
+    """Train the imported PyTorch reference on a mounted COCO-format
+    dataset and score its held-out predictions with OUR evaluator.
+
+    This produces the reference side of the two-sided AP comparison
+    (VERDICT r2 item 1): same data, same split, same scoring protocol as
+    runs/synthetic_generalization (our side). The reference trains with
+    its own semantics — its COCODataset/collate (dataset.py:9-219, incl.
+    the no-normalization transform quirk, train.py:584-587), its
+    HungarianMatcher/SetCriterion (incl. the batch-0 matching bug,
+    matching.py:102), Adam lr 1e-4 wd 1e-4 (train.py:999-1004), grad clip
+    1.0. The decoder is the standard (non-deformable) path: the
+    reference's deformable module is a Python quadruple loop at
+    ~0.16 img/s on the only hardware it supports here (CPU), which makes
+    a multi-epoch run infeasible; the standard path is its own first-class
+    config (config.py:36 use_deformable is a switch).
+
+    Scoring uses our evaluator in fixed-protocol mode (NOT parity_mode):
+    boxes rescaled to original pixels, real category ids, class 0 kept —
+    identical to how our framework's AP on this dataset was computed.
+    """
+    # Our evaluator's postprocess uses jax; keep it off the TPU tunnel —
+    # this is a CPU-only torch job that may run alongside TPU work.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    _stub_and_import_reference("small" if args.lightweight else "base", args.seed)
+
+    import torch
+    from torch.utils.data import DataLoader as TorchDataLoader
+
+    from dino_detector.dataset import COCODataset, collate_fn
+    from dino_detector.matching import HungarianMatcher
+    from dino_detector.losses import SetCriterion
+    from dino_detector.models.detector import DINOv2ObjectDetector
+    from dino_detector import config as ref_config
+
+    sys.path.insert(0, REPO)
+    from dinov2_od_tpu.evaluation.coco_metrics import compute_coco_metrics
+    from dinov2_od_tpu.evaluation.postprocess import postprocess_detections
+
+    torch.manual_seed(args.seed)
+
+    if args.lightweight:
+        # Reference lightweight table for dinov2-small (train.py:614-640).
+        model = DINOv2ObjectDetector(
+            num_classes=args.num_classes,
+            dino_model_name="facebook/dinov2-small",
+            hidden_dim=256, num_queries=25, num_decoder_layers=2,
+            dim_feedforward=512, lora_r=1, nheads=4,
+            use_deformable=False,
+        )
+    else:
+        model = DINOv2ObjectDetector(
+            num_classes=args.num_classes, use_deformable=False
+        )
+    matcher = HungarianMatcher(
+        cost_class=ref_config.set_cost_class,
+        cost_bbox=ref_config.set_cost_bbox,
+        cost_giou=ref_config.set_cost_giou,
+        focal_alpha=ref_config.focal_alpha,
+        focal_gamma=ref_config.focal_gamma,
+    )
+    criterion = SetCriterion(
+        matcher=matcher, num_classes=args.num_classes,
+        weight_dict=ref_config.loss_weights,
+        focal_alpha=ref_config.focal_alpha,
+        focal_gamma=ref_config.focal_gamma,
+    )
+    params = [p for p in model.parameters() if p.requires_grad]
+    opt = torch.optim.Adam(
+        params, lr=ref_config.learning_rate,
+        weight_decay=ref_config.weight_decay,
+    )
+
+    # Reference transform: Resize + ToTensor, NO normalization
+    # (train.py:584-587 — a documented quirk we reproduce on its side).
+    # torchvision is absent in this image; this is the same op via PIL:
+    # bilinear resize, then HWC uint8 -> CHW float in [0,1].
+    import numpy as np
+    from PIL import Image
+
+    def tfm(img):
+        img = img.resize((args.image_size, args.image_size), Image.BILINEAR)
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        return torch.from_numpy(arr).permute(2, 0, 1)
+    train_ds = COCODataset(args.train_images, args.train_annotations, tfm)
+    val_ds = COCODataset(args.val_images, args.val_annotations, tfm)
+    gen = torch.Generator().manual_seed(args.seed)
+    train_dl = TorchDataLoader(
+        train_ds, batch_size=args.batch_size, shuffle=True,
+        collate_fn=collate_fn, num_workers=0, generator=gen,
+    )
+    val_dl = TorchDataLoader(
+        val_ds, batch_size=args.batch_size, shuffle=False,
+        collate_fn=collate_fn, num_workers=0,
+    )
+    # Fixed-protocol scoring needs real category ids; the reference remaps
+    # category->contiguous in JSON enumeration order (dataset.py:35).
+    label_to_cat_id = {v: k for k, v in val_ds.categories.items()}
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    history = {}
+
+    def run_val(epoch: int) -> dict:
+        model.eval()
+        results = []
+        with torch.no_grad():
+            for images, targets in val_dl:
+                out = model(images)
+                results.extend(postprocess_detections(
+                    out["pred_logits"].numpy(),
+                    out["pred_boxes"].numpy(),
+                    [int(t["image_id"]) for t in targets],
+                    [[int(s) for s in t["orig_size"]] for t in targets],
+                    label_to_cat_id,
+                ))
+        metrics = compute_coco_metrics(results, args.val_annotations)
+        with open(os.path.join(args.output_dir,
+                               f"reference_metrics_epoch_{epoch}.json"), "w") as f:
+            json.dump(metrics, f)
+        model.train()
+        return metrics
+
+    model.train()
+    for epoch in range(args.num_epochs):
+        t0 = time.perf_counter()
+        total, nb = 0.0, 0
+        for images, targets in train_dl:
+            outputs = model(images)
+            # SetCriterion returns already-weighted losses (losses.py:238);
+            # the reference sums them directly (train.py:1090).
+            loss = sum(criterion(outputs, targets).values())
+            opt.zero_grad()
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(params, ref_config.gradient_clip_val)
+            opt.step()
+            total += float(loss)
+            nb += 1
+        dt = time.perf_counter() - t0
+        msg = (f"[reference] epoch {epoch} mean loss {total / max(nb, 1):.4f} "
+               f"{len(train_ds) / dt:.2f} img/s")
+        if (epoch + 1) % args.val_frequency == 0 or epoch == args.num_epochs - 1:
+            metrics = run_val(epoch)
+            history[str(epoch)] = metrics
+            msg += f" val {metrics}"
+        print(msg, flush=True)
+
+    out = {
+        "mode": "synthetic_ap",
+        "decoder": "standard",
+        "lightweight": bool(args.lightweight),
+        "num_epochs": args.num_epochs,
+        "batch_size": args.batch_size,
+        "seed": args.seed,
+        "train_annotations": args.train_annotations,
+        "val_annotations": args.val_annotations,
+        "history": history,
+        "hardware": "host CPU (the only hardware the reference supports here)",
+    }
+    with open(os.path.join(args.output_dir, "reference_ap.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    path = os.path.join(REPO, "BASELINE_MEASURED.json")
+    existing = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+    existing["synthetic_ap"] = out
+    with open(path, "w") as f:
+        json.dump(existing, f, indent=2)
+    print(f"saved -> {path}")
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch_size", type=int, default=8)
@@ -123,7 +333,26 @@ def main():
     p.add_argument("--deformable", action="store_true",
                    help="time the deformable decoder path too (SLOW: "
                         "reference uses a Python quadruple loop)")
+    p.add_argument("--ap", action="store_true",
+                   help="train the imported reference on a mounted "
+                        "COCO-format dataset and report held-out AP "
+                        "scored by our evaluator")
+    p.add_argument("--train_images")
+    p.add_argument("--train_annotations")
+    p.add_argument("--val_images")
+    p.add_argument("--val_annotations")
+    p.add_argument("--lightweight", action="store_true")
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--num_classes", type=int, default=7)
+    p.add_argument("--num_epochs", type=int, default=30)
+    p.add_argument("--val_frequency", type=int, default=10)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--output_dir", default="runs/reference_synthetic_ap")
     args = p.parse_args()
+
+    if args.ap:
+        measure_ap(args)
+        return
 
     out = {}
     out["standard_attention"] = measure(

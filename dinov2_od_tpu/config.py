@@ -279,6 +279,12 @@ class TrainConfig:
     # Rematerialize backbone blocks in the backward pass (trade FLOPs for
     # HBM at 518px / large models).
     use_remat: bool = False
+    # Auxiliary (deep-supervision) losses reuse the FINAL decoder layer's
+    # assignment instead of solving a fresh match per layer. DETR matches
+    # each layer independently (the default, exact); sharing removes L-1
+    # matcher solves per step, which matters at COCO GT density where the
+    # matcher is a large step fraction (BENCH.md).
+    share_aux_match: bool = False
 
 
 def lightweight_detector_config(

@@ -131,7 +131,10 @@ def loss_boxes(
     return {"loss_bbox": loss_bbox, "loss_giou": loss_giou}
 
 
-@functools.partial(jax.jit, static_argnames=("matcher_cfg", "loss_cfg", "num_classes"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("matcher_cfg", "loss_cfg", "num_classes", "return_match"),
+)
 def set_criterion(
     pred_logits: jnp.ndarray,
     pred_boxes: jnp.ndarray,
@@ -141,24 +144,35 @@ def set_criterion(
     matcher_cfg: MatcherConfig = MatcherConfig(),
     loss_cfg: LossConfig = LossConfig(),
     num_classes: int = 91,
-) -> Dict[str, jnp.ndarray]:
+    match: MatchResult | None = None,
+    return_match: bool = False,
+):
     """Full DETR-style criterion: match then weighted losses.
 
     Args:
       pred_logits: [B, Q, C]; pred_boxes: [B, Q, 4] cxcywh.
       gt_labels: [B, G]; gt_boxes: [B, G, 4]; gt_valid: [B, G] bool.
+      match: a precomputed assignment to reuse instead of re-matching
+        (TrainConfig.share_aux_match: auxiliary decoder layers reuse the
+        final layer's match — DETR matches each layer independently, but
+        at COCO GT density the matcher is a large step fraction and this
+        trades exactness of the deep-supervision signal for L-1 fewer
+        solves; see BENCH.md).
+      return_match: also return the MatchResult (for reuse by the caller).
 
     Returns:
       dict with weighted 'loss_ce', 'loss_bbox', 'loss_giou' and 'loss'
-      (their sum), plus the unweighted values under '*_unweighted'.
+      (their sum), plus the unweighted values under '*_unweighted';
+      (dict, MatchResult) when return_match.
 
     Reference: losses.py:210-241. num_boxes is the global (cross-device)
     count of valid GT, clamped to >= 1 (losses.py:225-230); under pjit the
     sum over the sharded batch lowers to an all-reduce automatically.
     """
-    match = hungarian_match(
-        pred_logits, pred_boxes, gt_labels, gt_boxes, gt_valid, matcher_cfg
-    )
+    if match is None:
+        match = hungarian_match(
+            pred_logits, pred_boxes, gt_labels, gt_boxes, gt_valid, matcher_cfg
+        )
     num_boxes = jnp.maximum(jnp.sum(gt_valid.astype(jnp.float32)), 1.0)
 
     ce = loss_labels(
@@ -182,4 +196,6 @@ def set_criterion(
         "num_boxes": num_boxes,
     }
     out["loss"] = out["loss_ce"] + out["loss_bbox"] + out["loss_giou"]
+    if return_match:
+        return out, match
     return out

@@ -111,6 +111,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="deep supervision: match+score every intermediate "
                         "decoder layer (Deformable-DETR sec. 4); not in "
                         "the reference")
+    p.add_argument("--share_aux_match", type=str2bool, default=False,
+                   help="aux losses reuse the final decoder layer's "
+                        "assignment instead of re-matching per layer "
+                        "(cheaper at dense GT; DETR semantics is "
+                        "per-layer matching)")
     p.add_argument("--n_points", type=int, default=2)
     p.add_argument("--dino_model", type=str, default="facebook/dinov2-base")
     p.add_argument("--lightweight", action="store_true")
@@ -274,6 +279,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         mesh=mesh_cfg,
         num_epochs=num_epochs or 50,
         debug=args.debug,
+        share_aux_match=args.share_aux_match,
     )
 
     logger.info("devices: %s", jax.devices())

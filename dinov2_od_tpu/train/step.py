@@ -82,7 +82,7 @@ def make_train_step(
                 use_remat=cfg.use_remat,
                 **cp,
             )
-            losses = set_criterion(
+            losses, final_match = set_criterion(
                 out["pred_logits"],
                 out["pred_boxes"],
                 batch["labels"],
@@ -91,11 +91,14 @@ def make_train_step(
                 matcher_cfg=cfg.matcher,
                 loss_cfg=cfg.loss,
                 num_classes=num_classes,
+                return_match=True,
             )
             total = losses["loss"]
             # Deep supervision (DecoderConfig.aux_loss): each intermediate
             # decoder layer is matched and scored independently with the
             # same weights (Deformable-DETR §4), summed into the total.
+            # cfg.share_aux_match reuses the final layer's assignment
+            # instead (L-1 fewer matcher solves; see BENCH.md).
             for i, aux in enumerate(out.get("aux_outputs", [])):
                 aux_losses = set_criterion(
                     aux["pred_logits"],
@@ -106,6 +109,7 @@ def make_train_step(
                     matcher_cfg=cfg.matcher,
                     loss_cfg=cfg.loss,
                     num_classes=num_classes,
+                    match=final_match if cfg.share_aux_match else None,
                 )
                 total = total + aux_losses["loss"]
                 losses[f"loss_aux_{i}"] = aux_losses["loss"]

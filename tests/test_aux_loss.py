@@ -61,6 +61,53 @@ def test_aux_outputs_shapes_and_default_off():
     )
 
 
+def test_share_aux_match_trains_and_reuses_assignment():
+    """TrainConfig.share_aux_match: aux layers reuse the final match —
+    the step still trains (finite loss/grads) and set_criterion's
+    match-reuse API returns identical losses when handed its own match."""
+    from dinov2_od_tpu.config import LossConfig
+    from dinov2_od_tpu.ops.losses import set_criterion
+
+    det = _cfg(True)
+    tc = TrainConfig(
+        detector=det,
+        data=DataConfig(batch_size=2, image_size=56, max_boxes=8),
+        optim=OptimConfig(),
+        matcher=MatcherConfig(),
+        share_aux_match=True,
+    )
+    params = init_detector_params(jax.random.key(0), det)
+    tx = make_optimizer(tc.optim, det, params)
+    state = create_train_state(params, tc.optim, det)
+    step = make_train_step(tc, tx)
+    raw = make_batch(np.random.default_rng(1), 2, image_size=56, max_boxes=8)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    state, metrics = step(state, batch, jax.random.key(2))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+    assert any(k.startswith("loss_aux_") for k in metrics)
+
+    # API invariant: criterion(match=own_match) == criterion().
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(size=(2, 6, 5)).astype(np.float32))
+    boxes = jnp.asarray(rng.uniform(0.2, 0.6, (2, 6, 4)).astype(np.float32))
+    gtl = jnp.asarray(rng.integers(0, 5, (2, 4)).astype(np.int32))
+    gtb = jnp.asarray(rng.uniform(0.2, 0.6, (2, 4, 4)).astype(np.float32))
+    gtv = jnp.asarray(np.array([[1, 1, 1, 0], [1, 0, 0, 0]], bool))
+    base, match = set_criterion(
+        logits, boxes, gtl, gtb, gtv, MatcherConfig(), LossConfig(),
+        num_classes=5, return_match=True,
+    )
+    reused = set_criterion(
+        logits, boxes, gtl, gtb, gtv, MatcherConfig(), LossConfig(),
+        num_classes=5, match=match,
+    )
+    for k in base:
+        np.testing.assert_allclose(
+            np.asarray(base[k]), np.asarray(reused[k]), rtol=1e-6
+        )
+
+
 def test_aux_loss_trains_and_adds_terms():
     det = _cfg(True)
     tc = TrainConfig(

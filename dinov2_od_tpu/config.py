@@ -209,6 +209,10 @@ class DataConfig:
     batch_size: int = 8  # per reference config.py:7 (per device)
     num_workers: int = 4
     shuffle_buffer: int = 1000
+    # Input pipeline backend: "threaded" (data/loader.py, zero deps) or
+    # "grain" (data/grain_pipeline.py — multiprocess prefetch +
+    # checkpointable iterators; requires the grain package).
+    loader: str = "threaded"
 
 
 @dataclasses.dataclass(frozen=True)

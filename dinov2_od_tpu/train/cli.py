@@ -138,6 +138,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="accepted for compatibility; JAX selects the backend")
     p.add_argument("--num_classes", type=int, default=91)
     p.add_argument("--memory_monitor", action="store_true")
+    p.add_argument("--loader", type=str, default="threaded",
+                   choices=["threaded", "grain"],
+                   help="input pipeline backend: the zero-dependency "
+                        "threaded prefetch loader, or Grain "
+                        "(multiprocess prefetch, checkpointable "
+                        "iterators; needs the grain package)")
 
     # Parity / quirk toggles
     p.add_argument("--parity_mode", action="store_true",
@@ -272,6 +278,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             image_size=args.image_size,
             batch_size=args.batch_size,
             normalize=not (args.no_normalize or args.parity_mode),
+            loader=args.loader,
         ),
         optim=C.OptimConfig(),
         matcher=matcher_cfg,

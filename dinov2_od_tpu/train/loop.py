@@ -221,14 +221,26 @@ def run_training(
     train_step = make_train_step(cfg, tx, mesh=mesh)
     eval_step = make_eval_step(cfg, mesh=mesh)
 
-    loader = DataLoader(
-        train_dataset,
-        cfg.data.batch_size,
-        shuffle=True,
-        seed=cfg.seed,
-        drop_last=True,
-        num_workers=cfg.data.num_workers,
-    )
+    if cfg.data.loader == "grain":
+        from ..data.grain_pipeline import GrainLoader
+
+        loader = GrainLoader(
+            train_dataset,
+            cfg.data.batch_size,
+            shuffle=True,
+            seed=cfg.seed,
+            drop_last=True,
+            num_workers=cfg.data.num_workers,
+        )
+    else:
+        loader = DataLoader(
+            train_dataset,
+            cfg.data.batch_size,
+            shuffle=True,
+            seed=cfg.seed,
+            drop_last=True,
+            num_workers=cfg.data.num_workers,
+        )
     rng = jax.random.key(cfg.seed)
     global_step = start_epoch * max(len(loader), 1)
 

@@ -38,6 +38,16 @@ _NEG_INF = -1e30
 _LANE = 128
 _SUBLANE = 16  # covers fp32 (8) and bf16 (16) sublane tiling
 
+# The softmax is computed in base 2: q is pre-scaled by scale*log2(e)
+# inside the kernel (a [bq, dh] multiply) so the [bq, S] logits tile never
+# needs the full-size `* scale` VPU pass, and exp2 replaces exp (XLA
+# lowers exp(x) to exp2(x * log2e) — another full-tile multiply saved).
+# The saved lse is therefore in LOG2 space (m + log2(l)); the backward
+# kernels recompute p = exp2(s2 - lse2) with the same folded scale. At
+# 518px (1370 tokens) the kernel is VPU(softmax)-bound at ~37% MXU, so
+# shaving full-tile VPU passes is the lever (BENCH.md).
+_LOG2E = 1.4426950408889634
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -73,13 +83,13 @@ def _auto_block(s: int, other_pad: int, n_buffers: int = 2) -> int:
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
-    q = q_ref[0, 0]  # [bq, dh]
+    q = q_ref[0, 0] * (scale * _LOG2E)  # [bq, dh]; scale folded into q
     k = k_ref[0, 0]  # [S, dh]
     v = v_ref[0, 0]  # [S, dh]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [bq, S]
+    )  # [bq, S], log2-space logits
 
     s_pad = k.shape[0]
     if kv_len < s_pad:
@@ -87,14 +97,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
         s = jnp.where(key_ids < kv_len, s, _NEG_INF)
 
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) / l
     o_ref[0, 0] = o.astype(o_ref.dtype)
-    lse_ref[0, 0] = m + jnp.log(l)  # [bq, 1]
+    lse_ref[0, 0] = m + jnp.log2(l)  # [bq, 1], log2 space
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
@@ -103,22 +113,26 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     do = do_ref[0, 0]
-    lse = lse_ref[0, 0]      # [bq, 1]
+    lse = lse_ref[0, 0]      # [bq, 1], log2 space
     delta = delta_ref[0, 0]  # [bq, 1]
 
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+        q * (scale * _LOG2E), k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     s_pad = k.shape[0]
     if kv_len < s_pad:
         key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(key_ids < kv_len, s, _NEG_INF)
-    p = jnp.exp(s - lse)  # [bq, S]
+    p = jnp.exp2(s - lse)  # [bq, S]
 
+    # scale folded into the [bq, dh] do tile (and the [bq, 1] delta)
+    # instead of a full [bq, S] multiply on ds.
     dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        do * scale, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    ds = p * (dp - delta) * scale
+    ds = p * (dp - delta * scale)
     dq = jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -132,12 +146,13 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0, 0]      # [bk, dh]
     v = v_ref[0, 0]
     do = do_ref[0, 0]    # [S_q, dh]
-    lse = lse_ref[0, 0]      # [S_q, 1]
+    lse = lse_ref[0, 0]      # [S_q, 1], log2 space
     delta = delta_ref[0, 0]  # [S_q, 1]
 
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [S_q, bk]
+        q * (scale * _LOG2E), k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [S_q, bk]
     s_pad = q.shape[0]
     if q_len < s_pad:
         # Padded q rows carry lse=0 -> p=exp(s) could overflow; mask them.
@@ -150,20 +165,21 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         jnp.int32, s.shape, 1
     )
     s = jnp.where(key_ids < kv_len, s, _NEG_INF)
-    p = jnp.exp(s - lse)  # [S_q, bk]
+    p = jnp.exp2(s - lse)  # [S_q, bk]
 
     dv = jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [bk, dh]
     dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [S_q, bk]
-    ds = p * (dp - delta) * scale
+        do * scale, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [S_q, bk]; scale folded into the do tile
+    ds = p * (dp - delta * scale)
     dk = jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [bk, dh]
+    )  # [bk, dh]; dk uses the ORIGINAL (unscaled) q
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
@@ -185,24 +201,24 @@ def _pad_seq(x, s_pad):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel_allheads(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
-    q = q_ref[0]  # [H, Sq, dh]
+    q = q_ref[0] * (scale * _LOG2E)  # [H, Sq, dh]; scale folded into q
     k = k_ref[0]
     v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale  # [H, Sq, Sk]
+    )  # [H, Sq, Sk], log2-space logits
     if kv_len < k.shape[1]:
         key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(key_ids < kv_len, s, _NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) / l
     o_ref[0] = o.astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(l)  # [H, Sq, 1]
+    lse_ref[0] = m + jnp.log2(l)  # [H, Sq, 1], log2 space
 
 
 def _bwd_kernel_allheads(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
@@ -211,24 +227,26 @@ def _bwd_kernel_allheads(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0]      # [H, Sq, 1]
+    lse = lse_ref[0]      # [H, Sq, 1], log2 space
     delta = delta_ref[0]  # [H, Sq, 1]
 
     s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale  # [H, Sq, Sk]
+        q * (scale * _LOG2E), k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [H, Sq, Sk]
     if kv_len < k.shape[1]:
         key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(key_ids < kv_len, s, _NEG_INF)
     if q_len < q.shape[1]:
         q_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(q_ids < q_len, s, _NEG_INF)
-    p = jnp.exp(s - lse)
+    p = jnp.exp2(s - lse)
 
     dp = jax.lax.dot_general(
-        do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # [H, Sq, Sk]
-    ds = p * (dp - delta) * scale
+        do * scale, v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [H, Sq, Sk]; scale folded into the do tile
+    ds = p * (dp - delta * scale)
     dq = jax.lax.dot_general(
         ds.astype(k.dtype), k, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,

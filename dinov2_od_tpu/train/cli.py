@@ -87,7 +87,19 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # Debug / overfit (reference train.py:1397-1406)
     p.add_argument("--debug", action="store_true")
     p.add_argument("--debug_samples", type=int, default=32)
-    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="per-chip batch. 32 is the measured throughput "
+                        "sweet spot on v5e (larger per-chip batches "
+                        "degrade the bandwidth-bound attention path — "
+                        "BENCH.md 'Batch-64'); for bigger effective "
+                        "batches prefer --gradient_accumulation_steps "
+                        "or more chips (DP)")
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1,
+                   help="accumulate gradients over N steps before each "
+                        "optimizer update (optax MultiSteps): effective "
+                        "batch = batch_size * N * data-parallel chips. "
+                        "The recommended way to scale the effective "
+                        "batch past the per-chip sweet spot")
     p.add_argument("--debug_lr", type=float, default=5e-4)
 
     # coco-mini (reference train.py:1408-1419)
@@ -280,7 +292,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             normalize=not (args.no_normalize or args.parity_mode),
             loader=args.loader,
         ),
-        optim=C.OptimConfig(),
+        optim=C.OptimConfig(
+            gradient_accumulation_steps=args.gradient_accumulation_steps,
+        ),
         matcher=matcher_cfg,
         loss=loss_cfg,
         mesh=mesh_cfg,

@@ -48,6 +48,17 @@ def test_arg_parser_covers_reference_flags():
         assert ref_flag in flags, f"missing reference flag {ref_flag}"
 
 
+def test_gradient_accumulation_flag_parses():
+    """--gradient_accumulation_steps reaches OptimConfig (the recommended
+    path to effective batches past the per-chip sweet spot — BENCH.md
+    'Batch-64')."""
+    p = build_arg_parser()
+    args = p.parse_args(["--gradient_accumulation_steps", "4"])
+    assert args.gradient_accumulation_steps == 4
+    # Default must stay 1 (every-step updates).
+    assert p.parse_args([]).gradient_accumulation_steps == 1
+
+
 @pytest.mark.slow
 def test_debug_overfit_via_cli(synth, tmp_path):
     """`--debug --lightweight` at 56px: loss must drop over 3 epochs, and

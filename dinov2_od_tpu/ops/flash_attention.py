@@ -98,11 +98,22 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
 
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp2(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+    # Softmax row-sum on the MXU: augment v with a ones column so l falls
+    # out of the PV matmul's last lane. Removes a full [bq, S] VPU reduce
+    # pass per tile (the kernel is VPU-bound at large S: exp2 measures
+    # ~1 VPU pass, so every traversal saved counts). The v concat is a
+    # [S, dh] pass — ~30x smaller than the logits tile. dh 64 -> 65 lanes
+    # stays inside the MXU's 128-lane tile, so the dot costs the same.
+    v_aug = jnp.concatenate(
+        [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1
+    )
+    o_aug = jax.lax.dot_general(
+        p.astype(v.dtype), v_aug, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) / l
+    )  # [bq, dh + 1]; last lane = sum_k p
+    dh = v.shape[1]
+    l = o_aug[:, dh:]
+    o = o_aug[:, :dh] / l
     o_ref[0, 0] = o.astype(o_ref.dtype)
     lse_ref[0, 0] = m + jnp.log2(l)  # [bq, 1], log2 space
 
@@ -212,11 +223,17 @@ def _fwd_kernel_allheads(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
         s = jnp.where(key_ids < kv_len, s, _NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp2(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+    # MXU-side row-sum via a ones column on v (see _fwd_kernel).
+    v_aug = jnp.concatenate(
+        [v, jnp.ones((v.shape[0], v.shape[1], 1), v.dtype)], axis=-1
+    )
+    o_aug = jax.lax.dot_general(
+        p.astype(v.dtype), v_aug, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) / l
+    )  # [H, Sq, dh + 1]
+    dh = v.shape[2]
+    l = o_aug[..., dh:]
+    o = o_aug[..., :dh] / l
     o_ref[0] = o.astype(o_ref.dtype)
     lse_ref[0] = m + jnp.log2(l)  # [H, Sq, 1], log2 space
 

@@ -9,8 +9,10 @@ Replaces the cuDNN attention inside the reference's HF DINOv2 backbone
   accumulation on the MXU. Attention probabilities never touch HBM —
   the same memory property as streaming flash attention, without the
   online-softmax bookkeeping that longer sequences would need.
-- Backward: two kernels (dq over q-blocks, dk/dv over k-blocks) using the
-  saved logsumexp, recomputing probabilities on the fly.
+- Backward: ONE fused kernel over k-blocks using the saved logsumexp,
+  recomputing probabilities on the fly; dq is accumulated in fp32 across
+  the sequential k-block grid dim (a revisited output), so the softmax
+  recompute happens once, not once per backward output.
 - Ragged sequence lengths are handled by padding to the lane multiple and
   statically masking padded keys.
 
@@ -118,41 +120,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
     lse_ref[0, 0] = m + jnp.log2(l)  # [bq, 1], log2 space
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
-               scale, kv_len):
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]
-    lse = lse_ref[0, 0]      # [bq, 1], log2 space
-    delta = delta_ref[0, 0]  # [bq, 1]
-
-    s = jax.lax.dot_general(
-        q * (scale * _LOG2E), k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    s_pad = k.shape[0]
-    if kv_len < s_pad:
-        key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(key_ids < kv_len, s, _NEG_INF)
-    p = jnp.exp2(s - lse)  # [bq, S]
-
-    # scale folded into the [bq, dh] do tile (and the [bq, 1] delta)
-    # instead of a full [bq, S] multiply on ds.
-    dp = jax.lax.dot_general(
-        do * scale, v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    ds = p * (dp - delta * scale)
-    dq = jax.lax.dot_general(
-        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-
-
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, *, scale, q_len, kv_len, block_k):
+                dk_ref, dv_ref, dq_ref, *, scale, q_len, kv_len, block_k):
+    """Fused backward over k-blocks: dk/dv for this block, PLUS this
+    block's contribution to dq, accumulated into a revisited fp32 output
+    across the (sequential) k-block grid dim. Before the fusion a
+    separate dq kernel re-did the QK^T matmul, the key masking, the
+    p = exp2(s - lse) pass and the dp matmul per q-block — at 518
+    (S=1370) that duplicate softmax recompute was ~half the backward's
+    VPU work (BENCH.md: backward is the dominant attention cost there)."""
     q = q_ref[0, 0]      # [S_q, dh] (whole padded q)
     k = k_ref[0, 0]      # [bk, dh]
     v = v_ref[0, 0]
@@ -193,6 +169,22 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     )  # [bk, dh]; dk uses the ORIGINAL (unscaled) q
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+    # dq accumulation: masked p rows (padded q) are zero, so ds rows are
+    # zero and the padded dq rows stay exactly zero.
+    dq_contrib = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [S_q, dh]
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_ref[0, 0] = dq_contrib
+
+    @pl.when(ki > 0)
+    def _acc():
+        dq_ref[0, 0] += dq_contrib
 
 
 def _pad_seq(x, s_pad):
@@ -366,12 +358,13 @@ def _flash_bwd(scale, block_q, interpret, kv_len, res, g):
     b, h, sq, dh = q.shape
     sk = kv_len if kv_len is not None else k.shape[2]
     sk_phys = k.shape[2]
-    sk_pad0 = _round_up(sk_phys, _SUBLANE)
-    if block_q is None:
-        block_q = _auto_block(sq, sk_pad0, n_buffers=4)
-    elif sq <= block_q:
-        block_q = _round_up(sq, _SUBLANE)
-    sq_pad = _round_up(sq, block_q)
+    # The fused blocked backward stages the WHOLE q/do/lse/delta per
+    # (b, h) (the k-block grid revisits them), so q only needs sublane
+    # rounding — block_q never constrains the backward. An explicit
+    # block_q still forces the blocked path (test coverage of the fused
+    # kernel on shapes the all-heads branch would otherwise take).
+    force_blocked = block_q is not None
+    sq_pad = _round_up(sq, _SUBLANE)
     # dk/dv iterate over k blocks; ~4 [sq_pad, block_k] buffers live.
     block_k = _auto_block(sk_phys, sq_pad, n_buffers=4)
     sk_pad = _round_up(sk_phys, block_k)
@@ -398,7 +391,7 @@ def _flash_bwd(scale, block_q, interpret, kv_len, res, g):
     deltap = _pad_seq(delta, sq_pad)
 
     g_bwd = _head_group(h, sq_pad, sk_pad, n_buffers=5)
-    if g_bwd >= 1 and sq_pad == _round_up(sq, _SUBLANE):
+    if g_bwd >= 1 and not force_blocked:
         spec = pl.BlockSpec((1, g_bwd, sq_pad, dh), lambda bi, hi: (bi, hi, 0, 0))
         kvspec = pl.BlockSpec((1, g_bwd, sk_pad, dh), lambda bi, hi: (bi, hi, 0, 0))
         lspec = pl.BlockSpec((1, g_bwd, sq_pad, 1), lambda bi, hi: (bi, hi, 0, 0))
@@ -418,23 +411,14 @@ def _flash_bwd(scale, block_q, interpret, kv_len, res, g):
         )(qp, kp, vp, dop, lsep, deltap)
         return dq[:, :, :sq], dk[:, :, :sk_phys], dv[:, :, :sk_phys]
 
-    q_spec = pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, i: (bi, hi, i, 0))
     qfull_spec = pl.BlockSpec((1, 1, sq_pad, dh), lambda bi, hi, i: (bi, hi, 0, 0))
-    kv_spec = pl.BlockSpec((1, 1, sk_pad, dh), lambda bi, hi, i: (bi, hi, 0, 0))
     kvblk_spec = pl.BlockSpec((1, 1, block_k, dh), lambda bi, hi, i: (bi, hi, i, 0))
-    lse_spec = pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, i: (bi, hi, i, 0))
     lsefull_spec = pl.BlockSpec((1, 1, sq_pad, 1), lambda bi, hi, i: (bi, hi, 0, 0))
 
-    dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, kv_len=sk),
-        grid=(b, h, sq_pad // block_q),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, lse_spec, lse_spec],
-        out_specs=q_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, dh), q.dtype),
-        interpret=interpret,
-    )(qp, kp, vp, dop, lsep, deltap)
-
-    dk, dv = pl.pallas_call(
+    # Single fused kernel over k-blocks: dq is a REVISITED output (its
+    # index map ignores the k index), accumulated in fp32 in VMEM across
+    # the sequential innermost grid dim and flushed once per (b, h).
+    dk, dv, dq = pl.pallas_call(
         functools.partial(
             _dkv_kernel, scale=scale, q_len=sq, kv_len=sk, block_k=block_k
         ),
@@ -443,15 +427,16 @@ def _flash_bwd(scale, block_q, interpret, kv_len, res, g):
             qfull_spec, kvblk_spec, kvblk_spec, qfull_spec,
             lsefull_spec, lsefull_spec,
         ],
-        out_specs=[kvblk_spec, kvblk_spec],
+        out_specs=[kvblk_spec, kvblk_spec, qfull_spec],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, sk_pad, dh), k.dtype),
             jax.ShapeDtypeStruct((b, h, sk_pad, dh), v.dtype),
+            jax.ShapeDtypeStruct((b, h, sq_pad, dh), jnp.float32),
         ],
         interpret=interpret,
     )(qp, kp, vp, dop, lsep, deltap)
 
-    return dq[:, :, :sq], dk[:, :, :sk_phys], dv[:, :, :sk_phys]
+    return dq[:, :, :sq].astype(q.dtype), dk[:, :, :sk_phys], dv[:, :, :sk_phys]
 
 
 _flash_bhsd.defvjp(_flash_fwd_vjp, _flash_bwd)

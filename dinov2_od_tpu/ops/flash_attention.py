@@ -51,6 +51,18 @@ _SUBLANE = 16  # covers fp32 (8) and bf16 (16) sublane tiling
 _LOG2E = 1.4426950408889634
 
 
+def _mask_lane(n: int, valid: int, offset, dtype):
+    """[n, 1] additive mask column: 0 for rows with global id < valid,
+    _NEG_INF otherwise. Appended to k (or q) as an extra contraction lane
+    so the QK^T matmul emits PRE-masked logits — the full-tile
+    iota/compare/select VPU pass this replaces was ~1 of the ~3 VPU
+    traversals in the VPU-bound forward (BENCH.md). bf16 carries -1e30
+    exactly enough (same exponent range as fp32); dh 64 -> 66 lanes stays
+    inside one 128-lane MXU tile, so the fold is free."""
+    ids = offset + jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    return jnp.where(ids < valid, 0.0, _NEG_INF).astype(dtype)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -89,14 +101,17 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
     k = k_ref[0, 0]  # [S, dh]
     v = v_ref[0, 0]  # [S, dh]
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [bq, S], log2-space logits
-
     s_pad = k.shape[0]
     if kv_len < s_pad:
-        key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(key_ids < kv_len, s, _NEG_INF)
+        # Key masking folded into the MXU: one extra contraction lane
+        # (q gains a ones lane, k a 0/-1e30 lane) instead of a full-tile
+        # VPU select on the [bq, S] logits (see _mask_lane).
+        q = jnp.concatenate([q, jnp.ones((q.shape[0], 1), q.dtype)], axis=-1)
+        k = jnp.concatenate([k, _mask_lane(s_pad, kv_len, 0, k.dtype)], axis=-1)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, S], log2-space logits, padded keys pre-masked to ~-1e30
 
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp2(s - m)
@@ -121,7 +136,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, dq_ref, *, scale, q_len, kv_len, block_k):
+                dk_ref, dv_ref, dq_ref, *, scale, q_len, kv_len, block_k,
+                mask_keys):
     """Fused backward over k-blocks: dk/dv for this block, PLUS this
     block's contribution to dq, accumulated into a revisited fp32 output
     across the (sequential) k-block grid dim. Before the fusion a
@@ -136,22 +152,31 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     lse = lse_ref[0, 0]      # [S_q, 1], log2 space
     delta = delta_ref[0, 0]  # [S_q, 1]
 
-    s = jax.lax.dot_general(
-        q * (scale * _LOG2E), k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [S_q, bk]
     s_pad = q.shape[0]
+    bk = k.shape[0]
+    # Both masks folded into extra MXU contraction lanes (see _mask_lane):
+    # - padded q rows (zero rows with lse=0 -> p=1 unmasked) get a
+    #   0/-1e30 q lane dotted with a ones k lane;
+    # - keys at global positions >= kv_len (padding whose dk/dv rows must
+    #   be exactly zero — the caller's padded key rows can carry nonzero
+    #   activations under whole-network sequence padding) get a ones q
+    #   lane dotted with a per-block 0/-1e30 k lane.
+    q_lanes = [q * (scale * _LOG2E)]
+    k_lanes = [k]
     if q_len < s_pad:
-        # Padded q rows carry lse=0 -> p=exp(s) could overflow; mask them.
-        q_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        s = jnp.where(q_ids < q_len, s, _NEG_INF)
-    # Keys at global positions >= kv_len are padding: their dk/dv rows
-    # must be exactly zero (the caller's padded key rows can carry
-    # nonzero activations under whole-network sequence padding).
-    key_ids = pl.program_id(2) * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, s.shape, 1
-    )
-    s = jnp.where(key_ids < kv_len, s, _NEG_INF)
+        q_lanes.append(_mask_lane(s_pad, q_len, 0, q.dtype))
+        k_lanes.append(jnp.ones((bk, 1), k.dtype))
+    if mask_keys:
+        q_lanes.append(jnp.ones((s_pad, 1), q.dtype))
+        k_lanes.append(
+            _mask_lane(bk, kv_len, pl.program_id(2) * block_k, k.dtype)
+        )
+    qa = q_lanes[0] if len(q_lanes) == 1 else jnp.concatenate(q_lanes, -1)
+    ka = k_lanes[0] if len(k_lanes) == 1 else jnp.concatenate(k_lanes, -1)
+    s = jax.lax.dot_general(
+        qa, ka, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [S_q, bk], pre-masked
     p = jnp.exp2(s - lse)  # [S_q, bk]
 
     dv = jax.lax.dot_general(
@@ -207,12 +232,19 @@ def _fwd_kernel_allheads(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
     q = q_ref[0] * (scale * _LOG2E)  # [H, Sq, dh]; scale folded into q
     k = k_ref[0]
     v = v_ref[0]
+    if kv_len < k.shape[1]:
+        # MXU-folded key mask (see _mask_lane), broadcast over heads.
+        g, sk = k.shape[0], k.shape[1]
+        q = jnp.concatenate(
+            [q, jnp.ones((g, q.shape[1], 1), q.dtype)], axis=-1
+        )
+        kmask = jnp.broadcast_to(
+            _mask_lane(sk, kv_len, 0, k.dtype)[None], (g, sk, 1)
+        )
+        k = jnp.concatenate([k, kmask], axis=-1)
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # [H, Sq, Sk], log2-space logits
-    if kv_len < k.shape[1]:
-        key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = jnp.where(key_ids < kv_len, s, _NEG_INF)
+    )  # [H, Sq, Sk], log2-space logits, padded keys pre-masked
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp2(s - m)
     # MXU-side row-sum via a ones column on v (see _fwd_kernel).
@@ -239,16 +271,30 @@ def _bwd_kernel_allheads(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     lse = lse_ref[0]      # [H, Sq, 1], log2 space
     delta = delta_ref[0]  # [H, Sq, 1]
 
+    g, sq_pad, _ = q.shape
+    sk_pad = k.shape[1]
+    # Masks folded into extra MXU contraction lanes, same scheme as
+    # _dkv_kernel (see _mask_lane): padded q rows and padded keys each
+    # contribute a (mask lane, ones lane) pair so QK^T emits pre-masked
+    # logits with zero VPU full-tile passes.
+    q_lanes = [q * (scale * _LOG2E)]
+    k_lanes = [k]
+    if q_len < sq_pad:
+        q_lanes.append(jnp.broadcast_to(
+            _mask_lane(sq_pad, q_len, 0, q.dtype)[None], (g, sq_pad, 1)
+        ))
+        k_lanes.append(jnp.ones((g, sk_pad, 1), k.dtype))
+    if kv_len < sk_pad:
+        q_lanes.append(jnp.ones((g, sq_pad, 1), q.dtype))
+        k_lanes.append(jnp.broadcast_to(
+            _mask_lane(sk_pad, kv_len, 0, k.dtype)[None], (g, sk_pad, 1)
+        ))
+    qa = q_lanes[0] if len(q_lanes) == 1 else jnp.concatenate(q_lanes, -1)
+    ka = k_lanes[0] if len(k_lanes) == 1 else jnp.concatenate(k_lanes, -1)
     s = jax.lax.dot_general(
-        q * (scale * _LOG2E), k, (((2,), (2,)), ((0,), (0,))),
+        qa, ka, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # [H, Sq, Sk]
-    if kv_len < k.shape[1]:
-        key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = jnp.where(key_ids < kv_len, s, _NEG_INF)
-    if q_len < q.shape[1]:
-        q_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(q_ids < q_len, s, _NEG_INF)
+    )  # [H, Sq, Sk], pre-masked
     p = jnp.exp2(s - lse)
 
     dp = jax.lax.dot_general(
@@ -420,7 +466,8 @@ def _flash_bwd(scale, block_q, interpret, kv_len, res, g):
     # the sequential innermost grid dim and flushed once per (b, h).
     dk, dv, dq = pl.pallas_call(
         functools.partial(
-            _dkv_kernel, scale=scale, q_len=sq, kv_len=sk, block_k=block_k
+            _dkv_kernel, scale=scale, q_len=sq, kv_len=sk, block_k=block_k,
+            mask_keys=sk < sk_pad,
         ),
         grid=(b, h, sk_pad // block_k),
         in_specs=[

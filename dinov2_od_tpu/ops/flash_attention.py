@@ -333,6 +333,251 @@ def _head_group(h: int, sq_pad: int, sk_pad: int, n_buffers: int) -> int:
     return g
 
 
+# ---------------------------------------------------------------------------
+# Flat-layout variant: kernels read the MODEL's [B, S, H*dh] layout directly
+# through paired-head lane blocks, so q/k/v never get transposed to
+# [B, H, S, dh]. Inputs to pallas_call cannot be fusion consumers, so the
+# BSHD->BHSD transposes of the path above materialize as HBM copies
+# (~0.28 ms/call at ViT-L/518: 4 arrays x 22.5 MB; BENCH.md roofline) —
+# while a [B, S, H*dh] view of the model's qkv GEMM output is free. Each
+# grid step owns a (1, S_pad, g*dh) block where g = lcm(128, dh)/dh heads
+# make the lane dim a 128 multiple; heads are separated by in-kernel
+# 64-lane slices, which cost nothing (measured: 0.756 ms vs 1.153 ms
+# through the transposing wrapper at 518, bit-identical).
+# ---------------------------------------------------------------------------
+
+
+def _flat_group(dh: int) -> int:
+    """Heads per lane block: smallest g with (g*dh) % 128 == 0."""
+    import math
+
+    return _LANE // math.gcd(dh, _LANE)
+
+
+def _fwd_kernel_flat(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len,
+                     dh, g):
+    """Forward over one (batch, head-group) block in flat layout.
+
+    Same math as _fwd_kernel (base-2 softmax, MXU row-sum via a ones lane
+    on v, MXU-folded key mask), applied per in-block head slice."""
+    q_all = q_ref[0]  # [S_pad, g*dh]
+    k_all = k_ref[0]
+    v_all = v_ref[0]
+    s_pad = k_all.shape[0]
+    outs, lses = [], []
+    for j in range(g):
+        sl = slice(j * dh, (j + 1) * dh)
+        q = q_all[:, sl] * (scale * _LOG2E)
+        k = k_all[:, sl]
+        v = v_all[:, sl]
+        if kv_len < s_pad:
+            q = jnp.concatenate(
+                [q, jnp.ones((q.shape[0], 1), q.dtype)], axis=-1
+            )
+            k = jnp.concatenate(
+                [k, _mask_lane(s_pad, kv_len, 0, k.dtype)], axis=-1
+            )
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S_pad, S_pad], log2-space logits, padded keys pre-masked
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        v_aug = jnp.concatenate(
+            [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1
+        )
+        o_aug = jax.lax.dot_general(
+            p.astype(v.dtype), v_aug, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        l = o_aug[:, dh:]
+        outs.append((o_aug[:, :dh] / l).astype(o_ref.dtype))
+        lses.append(m + jnp.log2(l))
+    o_ref[0] = outs[0] if g == 1 else jnp.concatenate(outs, axis=-1)
+    # lse is stored [B, H//g, S_pad, g] so the (1, 1, S_pad, g) block's
+    # trailing dims equal the full array dims (Mosaic's block-shape rule
+    # forbids a lane-dim block of g < 128 on a [B, S_pad, H] layout).
+    lse_ref[0, 0] = lses[0] if g == 1 else jnp.concatenate(lses, axis=-1)
+
+
+def _bwd_kernel_flat(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                     dk_ref, dv_ref, dq_ref, *, scale, kv_len, dh, g,
+                     block_k, mask_keys):
+    """Fused flat backward over k-blocks: dk/dv for this block plus the
+    block's dq contribution, accumulated into a revisited fp32 output
+    across the sequential innermost grid dim (same scheme as _dkv_kernel).
+
+    No q-row mask is needed here: the flat forward computes lse over ALL
+    padded rows (consistent with whatever activations they carry), so
+    p = exp2(s - lse) is a proper softmax row, and padded q rows receive
+    exactly-zero cotangents from the caller's final slice — their ds rows
+    vanish identically."""
+    ki = pl.program_id(2)
+    dks, dvs, dqs = [], [], []
+    for j in range(g):
+        sl = slice(j * dh, (j + 1) * dh)
+        q = q_ref[0][:, sl]       # [S_pad, dh]
+        k = k_ref[0][:, sl]       # [bk, dh]
+        v = v_ref[0][:, sl]
+        do = do_ref[0][:, sl]     # [S_pad, dh]
+        lse = lse_ref[0, 0][:, j:j + 1]      # [S_pad, 1], log2 space
+        delta = delta_ref[0, 0][:, j:j + 1]  # [S_pad, 1]
+
+        q_lanes = [q * (scale * _LOG2E)]
+        k_lanes = [k]
+        if mask_keys:
+            q_lanes.append(jnp.ones((q.shape[0], 1), q.dtype))
+            k_lanes.append(
+                _mask_lane(k.shape[0], kv_len, ki * block_k, k.dtype)
+            )
+        qa = q_lanes[0] if len(q_lanes) == 1 else jnp.concatenate(q_lanes, -1)
+        ka = k_lanes[0] if len(k_lanes) == 1 else jnp.concatenate(k_lanes, -1)
+        s = jax.lax.dot_general(
+            qa, ka, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S_pad, bk], pre-masked
+        p = jnp.exp2(s - lse)
+
+        dv = jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bk, dh]
+        dp = jax.lax.dot_general(
+            do * scale, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S_pad, bk]; scale folded into the do tile
+        ds = p * (dp - delta * scale)
+        dk = jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bk, dh]; dk uses the ORIGINAL (unscaled) q
+        dq_c = jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S_pad, dh]
+        dks.append(dk.astype(dk_ref.dtype))
+        dvs.append(dv.astype(dv_ref.dtype))
+        dqs.append(dq_c)
+    dk_all = dks[0] if g == 1 else jnp.concatenate(dks, axis=-1)
+    dv_all = dvs[0] if g == 1 else jnp.concatenate(dvs, axis=-1)
+    dq_all = dqs[0] if g == 1 else jnp.concatenate(dqs, axis=-1)
+    dk_ref[0] = dk_all
+    dv_ref[0] = dv_all
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_ref[0] = dq_all
+
+    @pl.when(ki > 0)
+    def _acc():
+        dq_ref[0] += dq_all
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_flat(q, k, v, scale, dh, interpret, kv_len):
+    out, _ = _flash_flat_fwd(q, k, v, scale, dh, interpret, kv_len)
+    return out
+
+
+def _flash_flat_fwd(q, k, v, scale, dh, interpret, kv_len):
+    b, s_pad, d = q.shape
+    h = d // dh
+    g = _flat_group(dh)
+    spec = pl.BlockSpec((1, s_pad, g * dh), lambda bi, hi: (bi, 0, hi))
+    lspec = pl.BlockSpec((1, 1, s_pad, g), lambda bi, hi: (bi, hi, 0, 0))
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_flat, scale=scale, kv_len=kv_len, dh=dh, g=g
+        ),
+        grid=(b, h // g),
+        in_specs=[spec, spec, spec],
+        out_specs=[spec, lspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h // g, s_pad, g), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_flat_fwd_vjp(q, k, v, scale, dh, interpret, kv_len):
+    return _flash_flat_fwd(q, k, v, scale, dh, interpret, kv_len)
+
+
+def _flash_flat_bwd(scale, dh, interpret, kv_len, res, gout):
+    q, k, v, out, lse = res
+    b, s_pad, d = q.shape
+    h = d // dh
+    g = _flat_group(dh)
+
+    # delta = rowsum_per_head(dO * O), laid out [B, H//g, S_pad, g] to
+    # match the lse storage layout (see _flash_flat_fwd).
+    delta = jnp.transpose(
+        jnp.sum(
+            (gout.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
+                b, s_pad, h // g, g, dh
+            ),
+            axis=-1,
+        ),
+        (0, 2, 1, 3),
+    )
+
+    block_k = _auto_block(s_pad, s_pad, n_buffers=4)
+    sk_pad = _round_up(s_pad, block_k)
+    kp, vp = k, v
+    if sk_pad != s_pad:
+        padw = ((0, 0), (0, sk_pad - s_pad), (0, 0))
+        kp, vp = jnp.pad(k, padw), jnp.pad(v, padw)
+    mask_keys = kv_len < sk_pad
+
+    qspec = pl.BlockSpec((1, s_pad, g * dh), lambda bi, hi, ki: (bi, 0, hi))
+    kspec = pl.BlockSpec((1, block_k, g * dh), lambda bi, hi, ki: (bi, ki, hi))
+    lspec = pl.BlockSpec((1, 1, s_pad, g), lambda bi, hi, ki: (bi, hi, 0, 0))
+    dk, dv, dq = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_flat, scale=scale, kv_len=kv_len, dh=dh, g=g,
+            block_k=block_k, mask_keys=mask_keys,
+        ),
+        grid=(b, h // g, sk_pad // block_k),
+        in_specs=[qspec, kspec, kspec, qspec, lspec, lspec],
+        out_specs=[kspec, kspec, qspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((b, sk_pad, d), v.dtype),
+            jax.ShapeDtypeStruct((b, s_pad, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, kp, vp, gout, lse, delta)
+    return dq.astype(q.dtype), dk[:, :s_pad], dv[:, :s_pad]
+
+
+_flash_flat.defvjp(_flash_flat_fwd_vjp, _flash_flat_bwd)
+
+
+def _flat_eligible(q, k) -> bool:
+    """Flat path: self-attention shapes whose whole-seq logits tile fits
+    VMEM and whose head count divides into 128-lane groups. The VMEM
+    guard is empirical: S_pad=1376 (ViT-L/518) compiles and wins on v5e
+    (~2 live fp32 logits tiles after Mosaic's buffer reuse).
+
+    Measured crossover (v5e, bf16): at S_pad=1376 flat wins fwd -9% /
+    fwd+bwd -16% (no transpose copies); at S_pad=272 the BHSD all-heads
+    path wins 2.6x (one grid step per batch vs H/g — launch-bound
+    regime). So flat is selected exactly when the all-heads forward
+    could NOT stage a whole head-group's [g, S, S] logits in VMEM."""
+    b, sq, h, dh = q.shape
+    if sq != k.shape[1]:
+        return False
+    g = _flat_group(dh)
+    if h % g:
+        return False
+    s_pad = _round_up(sq, _SUBLANE)
+    if 2 * s_pad * s_pad * 4 > 18 * 2**20:
+        return False
+    return _head_group(h, s_pad, s_pad, n_buffers=2) == 0
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _flash_bhsd(q, k, v, scale, block_q, interpret, kv_len):
     out, _ = _flash_fwd(q, k, v, scale, block_q, interpret, kv_len)
@@ -498,23 +743,50 @@ def flash_attention(
     block_q: int | None = None,
     interpret: bool = False,
     kv_len: int | None = None,
+    flat: bool | None = None,
 ) -> jnp.ndarray:
     """Fused attention.
 
     Args:
-      q: [B, Sq, H, Dh]; k, v: [B, Sk, H, Dh] (model layout — transposed to
-        [B, H, S, Dh] for the kernel; XLA fuses the transposes into
-        neighboring ops).
+      q: [B, Sq, H, Dh]; k, v: [B, Sk, H, Dh] (model layout).
       scale: softmax scale (1/sqrt(Dh)).
+      block_q: explicit q-block (testing hook; forces the BHSD blocked
+        path).
       interpret: run in Pallas interpreter mode (CPU tests).
       kv_len: true key count when the caller pre-padded the sequence (keys
         at positions >= kv_len are masked out of the softmax and their
         dk/dv are exactly zero). Lets the whole network run at a
         lane-friendly padded length with no per-call HBM pad ops.
+      flat: force (True) or forbid (False) the flat-layout kernels; None
+        selects them automatically for eligible self-attention shapes.
 
     Returns:
       [B, Sq, H, Dh]
+
+    Two kernel families sit behind this wrapper:
+    - FLAT (default when eligible): the kernels read a [B, S, H*dh] VIEW
+      of the inputs through paired-head lane blocks, so the model layout
+      is consumed directly — no BSHD->BHSD transpose copies (pallas_call
+      inputs cannot be fusion consumers, so those transposes materialize
+      in HBM: ~0.28 ms/call at ViT-L/518, BENCH.md roofline).
+    - BHSD: transposes to [B, H, S, dh] and runs the head-grouped or
+      q/k-blocked kernels; covers cross-attention, odd head counts and
+      sequences too long for whole-seq VMEM staging.
     """
+    if flat is None:
+        flat = block_q is None and _flat_eligible(q, k)
+    if flat:
+        b, sq, h, dh = q.shape
+        s_pad = _round_up(sq, _SUBLANE)
+        kvl = kv_len if kv_len is not None else sq
+        qf = q.reshape(b, sq, h * dh)
+        kf = k.reshape(b, sq, h * dh)
+        vf = v.reshape(b, sq, h * dh)
+        if sq != s_pad:
+            padw = ((0, 0), (0, s_pad - sq), (0, 0))
+            qf, kf, vf = jnp.pad(qf, padw), jnp.pad(kf, padw), jnp.pad(vf, padw)
+        out = _flash_flat(qf, kf, vf, scale, dh, interpret, kvl)
+        return out[:, :sq].reshape(b, sq, h, dh)
     qt = jnp.transpose(q, (0, 2, 1, 3))
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))

@@ -131,6 +131,117 @@ def test_kv_len_padded_network_exact(rng):
         assert np.abs(np.asarray(bb[:, s:])).max() == 0.0
 
 
+@pytest.mark.parametrize(
+    "b,s,h,d",
+    [
+        (2, 257, 2, 64),   # ragged, paired-head lane blocks (g=2)
+        (1, 128, 4, 64),   # aligned
+        (1, 96, 2, 128),   # g=1 (dh already a lane multiple)
+    ],
+)
+def test_flat_forward_and_grads_match_xla(rng, b, s, h, d):
+    """Flat-layout kernels (no BSHD transposes) vs XLA, fwd + bwd."""
+    q, k, v = _rand_qkv(rng, b, s, h, d)
+    scale = 1.0 / np.sqrt(d)
+    ours = np.asarray(
+        flash_attention(q, k, v, scale=scale, interpret=True, flat=True)
+    )
+    ref = np.asarray(_xla_attention(q, k, v, scale))
+    np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-5)
+
+    def loss_flat(q, k, v):
+        o = flash_attention(q, k, v, scale=scale, interpret=True, flat=True)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_xla(q, k, v):
+        o = _xla_attention(q, k, v, scale)
+        return jnp.sum(o * jnp.cos(o))
+
+    g_ours = jax.grad(loss_flat, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ours, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-5
+        )
+
+
+def test_flat_matches_bhsd_paths_exactly(rng):
+    """The flat and BHSD kernel families implement identical math — their
+    outputs must agree to fp32 roundoff on the same inputs."""
+    b, s, h, d = 2, 257, 2, 64
+    q, k, v = _rand_qkv(rng, b, s, h, d)
+    scale = 1.0 / np.sqrt(d)
+    o_flat = np.asarray(
+        flash_attention(q, k, v, scale=scale, interpret=True, flat=True)
+    )
+    o_bhsd = np.asarray(
+        flash_attention(q, k, v, scale=scale, interpret=True, flat=False)
+    )
+    np.testing.assert_allclose(o_flat, o_bhsd, rtol=1e-6, atol=1e-6)
+
+
+def test_flat_kv_len_padded_network_exact(rng):
+    """Flat path under whole-network sequence padding: nonzero padded
+    rows, kv_len masking — forward and gradients exact, padded-row
+    dk/dv/dq exactly zero."""
+    b, s, h, d = 2, 257, 2, 64
+    s_pad = 272
+    q, k, v = _rand_qkv(rng, b, s, h, d)
+    scale = 1.0 / np.sqrt(d)
+    pad_fill = jnp.ones((b, s_pad - s, h, d), jnp.float32) * 0.7
+    qp, kp, vp = (jnp.concatenate([x, pad_fill], axis=1) for x in (q, k, v))
+
+    ref = flash_attention(q, k, v, scale=scale, interpret=True, flat=True)
+    out = flash_attention(
+        qp, kp, vp, scale=scale, interpret=True, kv_len=s, flat=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[:, :s]), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+    def loss_ref(q, k, v):
+        o = flash_attention(q, k, v, scale=scale, interpret=True, flat=True)
+        return jnp.sum(o ** 2)
+
+    def loss_pad(q, k, v):
+        o = flash_attention(
+            q, k, v, scale=scale, interpret=True, kv_len=s, flat=True
+        )
+        return jnp.sum(o[:, :s] ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    gp = jax.grad(loss_pad, argnums=(0, 1, 2))(qp, kp, vp)
+    for a, bb in zip(gr, gp):
+        np.testing.assert_allclose(
+            np.asarray(bb[:, :s]), np.asarray(a), rtol=3e-5, atol=3e-5
+        )
+        assert np.abs(np.asarray(bb[:, s:])).max() == 0.0
+
+
+def test_flat_blocked_backward_long_seq(rng):
+    """S=1370 (ViT-L/518): the flat backward splits keys into blocks
+    whose padded length exceeds S_pad — the k-block masking and the
+    revisited-dq accumulation must stay exact."""
+    b, s, h, d = 1, 1370, 2, 64
+    q, k, v = _rand_qkv(rng, b, s, h, d)
+    scale = 1.0 / np.sqrt(d)
+
+    def loss(q, k, v):
+        o = flash_attention(q, k, v, scale=scale, interpret=True, flat=True)
+        return jnp.sum(o ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, scale) ** 2)
+
+    g_ours = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, bb in zip(g_ours, g_ref):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=5e-4, atol=5e-4
+        )
+
+
 def test_backward_block_mismatch_no_nan():
     """Regression: at S=1370 (ViT-L/518) the backward's auto-block pads
     the q dim to MORE rows than the forward (different VMEM buffer

@@ -473,16 +473,15 @@ def _bwd_kernel_flat(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dq_ref[0] += dq_all
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_flat(q, k, v, scale, dh, interpret, kv_len):
-    out, _ = _flash_flat_fwd(q, k, v, scale, dh, interpret, kv_len)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_flat(q, k, v, scale, dh, interpret, kv_len, g):
+    out, _ = _flash_flat_fwd(q, k, v, scale, dh, interpret, kv_len, g)
     return out
 
 
-def _flash_flat_fwd(q, k, v, scale, dh, interpret, kv_len):
+def _flash_flat_fwd(q, k, v, scale, dh, interpret, kv_len, g):
     b, s_pad, d = q.shape
     h = d // dh
-    g = _flat_group(dh)
     spec = pl.BlockSpec((1, s_pad, g * dh), lambda bi, hi: (bi, 0, hi))
     lspec = pl.BlockSpec((1, 1, s_pad, g), lambda bi, hi: (bi, hi, 0, 0))
     out, lse = pl.pallas_call(
@@ -501,15 +500,14 @@ def _flash_flat_fwd(q, k, v, scale, dh, interpret, kv_len):
     return out, (q, k, v, out, lse)
 
 
-def _flash_flat_fwd_vjp(q, k, v, scale, dh, interpret, kv_len):
-    return _flash_flat_fwd(q, k, v, scale, dh, interpret, kv_len)
+def _flash_flat_fwd_vjp(q, k, v, scale, dh, interpret, kv_len, g):
+    return _flash_flat_fwd(q, k, v, scale, dh, interpret, kv_len, g)
 
 
-def _flash_flat_bwd(scale, dh, interpret, kv_len, res, gout):
+def _flash_flat_bwd(scale, dh, interpret, kv_len, g, res, gout):
     q, k, v, out, lse = res
     b, s_pad, d = q.shape
     h = d // dh
-    g = _flat_group(dh)
 
     # delta = rowsum_per_head(dO * O), laid out [B, H//g, S_pad, g] to
     # match the lse storage layout (see _flash_flat_fwd).
@@ -555,17 +553,37 @@ def _flash_flat_bwd(scale, dh, interpret, kv_len, res, gout):
 _flash_flat.defvjp(_flash_flat_fwd_vjp, _flash_flat_bwd)
 
 
+def _flat_block_group(h: int, dh: int, s_pad: int) -> int:
+    """Heads per flat grid step: a multiple of the minimal lane group
+    (so the lane block stays a 128 multiple) that divides h.
+
+    On-chip sweep (v5e, bf16): at S_pad=272 larger groups amortize grid
+    launches (g=12: fwd 0.223 ms vs g=2's 0.301) — take the largest
+    valid group when the per-group logits footprint is small; at
+    S_pad=1376 only the minimal group compiles (larger groups exceed
+    VMEM: 2 fp32 [S,S] tiles + g*dh-lane block buffers)."""
+    g0 = _flat_group(dh)
+    if s_pad <= 512:
+        for g in range(h, 0, -1):
+            if h % g == 0 and g % g0 == 0:
+                return g
+    return g0
+
+
 def _flat_eligible(q, k) -> bool:
     """Flat path: self-attention shapes whose whole-seq logits tile fits
     VMEM and whose head count divides into 128-lane groups. The VMEM
     guard is empirical: S_pad=1376 (ViT-L/518) compiles and wins on v5e
     (~2 live fp32 logits tiles after Mosaic's buffer reuse).
 
-    Measured crossover (v5e, bf16): at S_pad=1376 flat wins fwd -9% /
-    fwd+bwd -16% (no transpose copies); at S_pad=272 the BHSD all-heads
-    path wins 2.6x (one grid step per batch vs H/g — launch-bound
-    regime). So flat is selected exactly when the all-heads forward
-    could NOT stage a whole head-group's [g, S, S] logits in VMEM."""
+    Measured (v5e, bf16): at S_pad=1376 flat wins fwd -9% / fwd+bwd
+    -16% over the transposing BHSD path; at S_pad=272 the flat kernel in
+    isolation trails the BHSD all-heads path (0.223 vs 0.128 ms fwd at
+    the largest head group) but wins IN-MODEL (full ViT-B step 1449 ->
+    1540 img/s) because it also eliminates the [B,S,H,dh] relayout
+    copies XLA emits around the transposing call. Flat is therefore the
+    default wherever it fits; the BHSD family remains for
+    cross-attention, non-dividing head counts, and explicit block_q."""
     b, sq, h, dh = q.shape
     if sq != k.shape[1]:
         return False
@@ -573,9 +591,7 @@ def _flat_eligible(q, k) -> bool:
     if h % g:
         return False
     s_pad = _round_up(sq, _SUBLANE)
-    if 2 * s_pad * s_pad * 4 > 18 * 2**20:
-        return False
-    return _head_group(h, s_pad, s_pad, n_buffers=2) == 0
+    return 2 * s_pad * s_pad * 4 <= 18 * 2**20
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -785,7 +801,10 @@ def flash_attention(
         if sq != s_pad:
             padw = ((0, 0), (0, s_pad - sq), (0, 0))
             qf, kf, vf = jnp.pad(qf, padw), jnp.pad(kf, padw), jnp.pad(vf, padw)
-        out = _flash_flat(qf, kf, vf, scale, dh, interpret, kvl)
+        out = _flash_flat(
+            qf, kf, vf, scale, dh, interpret, kvl,
+            _flat_block_group(h, dh, s_pad),
+        )
         return out[:, :sq].reshape(b, sq, h, dh)
     qt = jnp.transpose(q, (0, 2, 1, 3))
     kt = jnp.transpose(k, (0, 2, 1, 3))

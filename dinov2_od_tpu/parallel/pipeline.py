@@ -13,12 +13,26 @@ The reference has no pipeline story (single-GPU DDP only, SURVEY.md
 attention).
 
 Design notes:
-- Inactive (bubble) stages still execute their stage body on whatever
-  sits in their receive buffer — a static graph is what XLA wants; the
-  garbage results are masked out of the output writes, which also cuts
-  their cotangents in the backward pass, so gradients are exact.
-- `ppermute` destinations with no source receive zeros, which feeds the
-  bubble computations something finite.
+- Bubble ticks: by default every stage executes its block stack every
+  tick, on garbage during its (P-1) bubble ticks, and the masked output
+  writes zero the bubble-path cotangents — a static graph, exact
+  gradients. On a lock-stepped real mesh the bubble compute is NOT on
+  the critical path (it overlaps other stages' live ticks), so it costs
+  energy, not wall-clock. `skip_bubbles=True` instead skips the stage
+  body via `lax.cond` on a scalar liveness predicate (stage p is live
+  at ticks p..p+m-1; the cond contains no collectives, so per-device
+  branching cannot deadlock the SPMD program). Measured on the
+  8-device CPU mesh (P=4, m=4, depth 8): forward 41.8 -> 27.6 ms
+  (bubble FLOPs gone), but forward+BACKWARD 177 -> 222 ms — AD through
+  the cond (branch-residual plumbing per tick) costs more than the
+  skipped bubble FLOPs save. Hence the default stays the static graph
+  for training; enable the skip for forward-only workloads (feature
+  extraction, pipelined eval) or energy-bound deployments.
+- `ppermute` destinations with no source receive zeros, which keeps
+  bubble values finite either way.
+- Bubble fraction is structural for GPipe: (P-1)/(m+P-1). Choose
+  num_microbatches >= 4*P to keep it under ~20%; interleaved/looping
+  schedules that shrink it further are a multi-chip-hardware project.
 - Memory follows GPipe: activations for all live microbatches are held
   for the backward; wrap the stage in `jax.checkpoint` upstream (remat)
   if that exceeds HBM.
@@ -45,6 +59,7 @@ def pipeline_blocks(
     mesh: Mesh,
     axis: str,
     num_microbatches: int = 0,
+    skip_bubbles: bool = False,
 ) -> jnp.ndarray:
     """Run a depth-stacked block sequence as a pipeline over `axis`.
 
@@ -56,6 +71,10 @@ def pipeline_blocks(
         body used by the sequential `lax.scan` path.
       num_microbatches: microbatch count M (0 -> the axis size).
         B must be divisible by M.
+      skip_bubbles: skip bubble-tick compute with lax.cond. Saves the
+        bubble FLOPs on forward-only workloads; leave False when the
+        result is differentiated (see module docstring: the cond's AD
+        overhead exceeds the saving).
 
     Returns:
       [B, ...] output activations (replicated).
@@ -100,7 +119,14 @@ def pipeline_blocks(
             recv, outputs = carry
             idx_in = jnp.clip(t, 0, m - 1)
             inp = jnp.where(p == 0, x_micro[idx_in], recv)
-            out = stage(inp)
+            if skip_bubbles:
+                # Stage p holds microbatch t - p; outside [0, m) it's a
+                # bubble tick — skip the block stack (scalar cond: one
+                # branch executes; no collectives inside).
+                live_compute = (t >= p) & (t - p < m)
+                out = jax.lax.cond(live_compute, stage, lambda z: z, inp)
+            else:
+                out = stage(inp)
             # Last stage writes microbatch (t - (P-1)) when it is live;
             # the masked write also zeroes bubble-path cotangents.
             oidx = jnp.clip(t - (n_stages - 1), 0, m - 1)

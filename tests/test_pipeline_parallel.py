@@ -53,6 +53,14 @@ def test_pipeline_blocks_matches_sequential(mesh):
     pp = pipeline_blocks(x, params, block_fn, mesh, "model", 2)
     np.testing.assert_allclose(np.asarray(pp), np.asarray(seq), rtol=1e-6, atol=1e-6)
 
+    # Forward-only bubble skipping (lax.cond liveness) is exact too.
+    pp_skip = pipeline_blocks(
+        x, params, block_fn, mesh, "model", 2, skip_bubbles=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(pp_skip), np.asarray(seq), rtol=1e-6, atol=1e-6
+    )
+
     def loss_seq(params, x):
         out, _ = jax.lax.scan(block_fn, x, params)
         return jnp.sum(out ** 2)

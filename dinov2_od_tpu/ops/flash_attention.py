@@ -505,6 +505,10 @@ def _flash_flat_fwd_vjp(q, k, v, scale, dh, interpret, kv_len, g):
 
 
 def _flash_flat_bwd(scale, dh, interpret, kv_len, g, res, gout):
+    return _flat_bwd_impl(scale, dh, interpret, kv_len, g, res, gout)
+
+
+def _flat_bwd_impl(scale, dh, interpret, kv_len, g, res, gout, glse2=None):
     q, k, v, out, lse = res
     b, s_pad, d = q.shape
     h = d // dh
@@ -520,6 +524,13 @@ def _flash_flat_bwd(scale, dh, interpret, kv_len, g, res, gout):
         ),
         (0, 2, 1, 3),
     )
+    if glse2 is not None:
+        # Cotangent of the (log2-space) lse output folds into the delta
+        # term: the kernel computes ds = p * (dp - delta*scale) w.r.t.
+        # QK^T, and d lse2/d(QK^T) = p * scale * log2e, so passing
+        # delta' = delta - glse2*log2e adds exactly the lse contribution.
+        # dv is untouched (lse has no v dependence). No kernel changes.
+        delta = delta - glse2 * _LOG2E
 
     block_k = _auto_block(s_pad, s_pad, n_buffers=4)
     sk_pad = _round_up(s_pad, block_k)
@@ -551,6 +562,32 @@ def _flash_flat_bwd(scale, dh, interpret, kv_len, g, res, gout):
 
 
 _flash_flat.defvjp(_flash_flat_fwd_vjp, _flash_flat_bwd)
+
+
+# Flat-layout variant that ALSO returns the (log2-space, kernel-layout)
+# lse as a differentiable output — the building block ring attention's
+# per-ring-step local attention needs to merge partial softmaxes across
+# ring steps (ops/ring_attention.py). The lse cotangent rides the existing
+# backward kernels through the delta term (see _flat_bwd_impl).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_flat_lse(q, k, v, scale, dh, interpret, kv_len, g):
+    out, res = _flash_flat_fwd(q, k, v, scale, dh, interpret, kv_len, g)
+    return out, res[-1]
+
+
+def _flash_flat_lse_fwd(q, k, v, scale, dh, interpret, kv_len, g):
+    out, res = _flash_flat_fwd(q, k, v, scale, dh, interpret, kv_len, g)
+    return (out, res[-1]), res
+
+
+def _flash_flat_lse_bwd(scale, dh, interpret, kv_len, g, res, cts):
+    gout, glse2 = cts
+    return _flat_bwd_impl(
+        scale, dh, interpret, kv_len, g, res, gout, glse2=glse2
+    )
+
+
+_flash_flat_lse.defvjp(_flash_flat_lse_fwd, _flash_flat_lse_bwd)
 
 
 def _flat_block_group(h: int, dh: int, s_pad: int) -> int:
@@ -661,6 +698,10 @@ def _flash_fwd_vjp(q, k, v, scale, block_q, interpret, kv_len):
 
 
 def _flash_bwd(scale, block_q, interpret, kv_len, res, g):
+    return _bhsd_bwd_impl(scale, block_q, interpret, kv_len, res, g)
+
+
+def _bhsd_bwd_impl(scale, block_q, interpret, kv_len, res, g, glse2=None):
     q, k, v, out, lse = res
     b, h, sq, dh = q.shape
     sk = kv_len if kv_len is not None else k.shape[2]
@@ -696,6 +737,15 @@ def _flash_bwd(scale, block_q, interpret, kv_len, res, g):
     else:
         lsep = lse
     deltap = _pad_seq(delta, sq_pad)
+    if glse2 is not None:
+        # lse-output cotangent folded into delta (see _flat_bwd_impl).
+        # glse2 arrives at the FORWARD's padded length, like lse.
+        gl = glse2
+        if gl.shape[2] < sq_pad:
+            gl = _pad_seq(gl, sq_pad)
+        elif gl.shape[2] > sq_pad:
+            gl = gl[:, :, :sq_pad]
+        deltap = deltap - gl * _LOG2E
 
     g_bwd = _head_group(h, sq_pad, sk_pad, n_buffers=5)
     if g_bwd >= 1 and not force_blocked:
@@ -748,6 +798,86 @@ def _flash_bwd(scale, block_q, interpret, kv_len, res, g):
 
 
 _flash_bhsd.defvjp(_flash_fwd_vjp, _flash_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_bhsd_lse(q, k, v, scale, block_q, interpret, kv_len):
+    out, res = _flash_fwd(q, k, v, scale, block_q, interpret, kv_len)
+    return out, res[-1]
+
+
+def _flash_bhsd_lse_fwd(q, k, v, scale, block_q, interpret, kv_len):
+    out, res = _flash_fwd(q, k, v, scale, block_q, interpret, kv_len)
+    return (out, res[-1]), res
+
+
+def _flash_bhsd_lse_bwd(scale, block_q, interpret, kv_len, res, cts):
+    gout, glse2 = cts
+    return _bhsd_bwd_impl(
+        scale, block_q, interpret, kv_len, res, gout, glse2=glse2
+    )
+
+
+_flash_bhsd_lse.defvjp(_flash_bhsd_lse_fwd, _flash_bhsd_lse_bwd)
+
+_LN2 = 0.6931471805599453
+
+
+def flash_attention_lse(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float,
+    interpret: bool = False,
+    kv_len: int | None = None,
+    flat: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused attention returning the per-row logsumexp as a second
+    differentiable output.
+
+    This is the kernel interface ring attention (ops/ring_attention.py)
+    needs: each ring step computes local attention over one rotated K/V
+    shard with the Pallas kernel, and the partial (o, lse) pairs merge in
+    log-sum-exp form across steps. Both outputs carry exact gradients —
+    the lse cotangent folds into the backward kernels' delta term, so the
+    fused backward runs unchanged.
+
+    Args mirror `flash_attention`. Returns:
+      o:   [B, Sq, H, Dh] (q.dtype)
+      lse: [B, Sq, H] fp32, NATURAL-log space: log(sum_k exp(s_qk)) with
+           s the scaled logits. (The kernels store log2-space lse
+           internally; the conversion is a cheap elementwise multiply.)
+    """
+    b, sq, h, dh = q.shape
+    if flat is None:
+        flat = _flat_eligible(q, k)
+    if flat:
+        s_pad = _round_up(sq, _SUBLANE)
+        kvl = kv_len if kv_len is not None else sq
+        g = _flat_block_group(h, dh, s_pad)
+        qf = q.reshape(b, sq, h * dh)
+        kf = k.reshape(b, sq, h * dh)
+        vf = v.reshape(b, sq, h * dh)
+        if sq != s_pad:
+            padw = ((0, 0), (0, s_pad - sq), (0, 0))
+            qf, kf, vf = jnp.pad(qf, padw), jnp.pad(kf, padw), jnp.pad(vf, padw)
+        out, lse2 = _flash_flat_lse(qf, kf, vf, scale, dh, interpret, kvl, g)
+        o = out[:, :sq].reshape(b, sq, h, dh)
+        # lse2: [B, H//g, S_pad, g], head index = group*g + lane.
+        lse = (
+            jnp.transpose(lse2, (0, 2, 1, 3)).reshape(b, s_pad, h)[:, :sq]
+            * _LN2
+        )
+        return o, lse
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    out, lse2 = _flash_bhsd_lse(qt, kt, vt, scale, None, interpret, kv_len)
+    o = jnp.transpose(out, (0, 2, 1, 3))
+    # lse2: [B, H, S_pad_fwd, 1] (forward-padded length).
+    lse = jnp.transpose(lse2[:, :, :sq, 0], (0, 2, 1)) * _LN2
+    return o, lse
 
 
 def flash_attention(

@@ -122,6 +122,139 @@ def test_blockwise_with_valid_len(rng, mesh):
     )
 
 
+def test_flash_impl_forward_and_backward(rng, mesh):
+    """impl='flash' (Pallas kernel per ring step, interpret mode on the
+    CPU mesh) matches the single-device XLA path, gradients included."""
+    b, s, h, d = 1, 128, 2, 16  # 8 shards of 16; BHSD kernel path (h=2)
+    q, k, v = _qkv(rng, b, s, h, d)
+    scale = 1.0 / np.sqrt(d)
+    sharding = NamedSharding(mesh, P(None, "data", None, None))
+    qs, ks, vs = (jax.device_put(x, sharding) for x in (q, k, v))
+
+    out = ring_attention(
+        qs, ks, vs, scale=scale, mesh=mesh, impl="flash", interpret=True
+    )
+    ref = _xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+    assert out.sharding.spec == P(None, "data", None, None)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(
+            ring_attention(
+                q, k, v, scale=scale, mesh=mesh, impl="flash",
+                interpret=True,
+            ) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, scale) ** 2)
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(qs, ks, vs)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ring, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-5, atol=5e-5
+        )
+
+
+def test_flash_impl_flat_kernel_path(rng, mesh):
+    """Head count divisible into 128-lane groups -> the flash impl's
+    local step takes the FLAT kernel family (the TPU default at model
+    scale)."""
+    b, s, h, d = 1, 128, 4, 32  # g = 128/gcd(32,128) = 4 divides h
+    q, k, v = _qkv(rng, b, s, h, d)
+    scale = 1.0 / np.sqrt(d)
+    sharding = NamedSharding(mesh, P(None, "data", None, None))
+    qs, ks, vs = (jax.device_put(x, sharding) for x in (q, k, v))
+
+    out = ring_attention(
+        qs, ks, vs, scale=scale, mesh=mesh, impl="flash", interpret=True
+    )
+    ref = _xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+    def loss_ring(q, k, v):
+        return jnp.sum(
+            ring_attention(
+                q, k, v, scale=scale, mesh=mesh, impl="flash",
+                interpret=True,
+            ) ** 2
+        )
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(qs, ks, vs)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, scale) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ring, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-5, atol=5e-5
+        )
+
+
+@pytest.mark.parametrize("s_real", [100, 96])
+def test_flash_impl_valid_len(rng, mesh, s_real):
+    """The flash impl's three static key-mask cases (fully-valid /
+    straddling / fully-masked shard) reproduce the global valid_len mask,
+    including s_real=96 where the boundary falls exactly between shards
+    (no straddling shard) and shard 7 (keys 96..103) is fully masked."""
+    b, h, d = 1, 2, 16
+    q, k, v = _qkv(rng, b, s_real, h, d)
+    scale = 1.0 / np.sqrt(d)
+    s_pad = 104 if s_real == 100 else 96  # shard multiple of 8
+    padw = ((0, 0), (0, s_pad - s_real), (0, 0), (0, 0))
+    qp, kp, vp = (jnp.pad(x, padw) for x in (q, k, v))
+    sharding = NamedSharding(mesh, P(None, "data", None, None))
+    qs, ks, vs = (jax.device_put(x, sharding) for x in (qp, kp, vp))
+
+    out = ring_attention(
+        qs, ks, vs, scale=scale, mesh=mesh,
+        valid_len=s_real if s_pad != s_real else None,
+        impl="flash", interpret=True,
+    )
+    ref = _xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :s_real], np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_flash_impl_valid_len_grads(rng, mesh):
+    """Gradients through the masked flash path: padded key/value rows get
+    exactly-zero gradients; real rows match the unpadded XLA reference."""
+    b, s_real, h, d = 1, 100, 2, 16
+    q, k, v = _qkv(rng, b, s_real, h, d)
+    scale = 1.0 / np.sqrt(d)
+    s_pad = 104
+    padw = ((0, 0), (0, s_pad - s_real), (0, 0), (0, 0))
+    qp, kp, vp = (jnp.pad(x, padw) for x in (q, k, v))
+    sharding = NamedSharding(mesh, P(None, "data", None, None))
+    qs, ks, vs = (jax.device_put(x, sharding) for x in (qp, kp, vp))
+
+    def loss_ring(q, k, v):
+        out = ring_attention(
+            q, k, v, scale=scale, mesh=mesh, valid_len=s_real,
+            impl="flash", interpret=True,
+        )
+        return jnp.sum(out[:, :s_real] ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, scale) ** 2)
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(qs, ks, vs)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ring, g_ref):
+        a = np.asarray(a)
+        np.testing.assert_allclose(
+            a[:, :s_real], np.asarray(b_), rtol=5e-5, atol=5e-5
+        )
+        np.testing.assert_allclose(a[:, s_real:], 0.0, atol=5e-6)
+
+
 def test_jit_composes_with_mesh(rng, mesh):
     b, s, h, d = 1, 64, 2, 8
     q, k, v = _qkv(rng, b, s, h, d)

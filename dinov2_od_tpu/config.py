@@ -250,6 +250,11 @@ class MeshConfig:
     pipeline_parallel: bool = False
     # Microbatches for the pipeline schedule (0 -> stage count).
     pipeline_microbatches: int = 0
+    # Chunks per pipeline stage (interleaved schedule): 1 = GPipe; v > 1
+    # gives each device v non-consecutive depth chunks and a v-times
+    # smaller bubble (parallel/pipeline.py). Requires depth divisible by
+    # stages*chunks and microbatches divisible by stages.
+    pipeline_chunks: int = 1
 
     def __post_init__(self):
         if self.context_parallel and self.pipeline_parallel:

@@ -49,6 +49,7 @@ def detector_apply(
     batch_axis: str | None = None,
     pipe_axis: str | None = None,
     pipe_microbatches: int = 0,
+    pipe_chunks: int = 1,
 ) -> Dict[str, jnp.ndarray]:
     """Full forward pass.
 
@@ -74,6 +75,7 @@ def detector_apply(
         batch_axis=batch_axis,
         pipe_axis=pipe_axis,
         pipe_microbatches=pipe_microbatches,
+        pipe_chunks=pipe_chunks,
     )
     return decoder_apply(
         params["decoder"],

@@ -219,6 +219,7 @@ def backbone_apply(
     batch_axis: str | None = None,
     pipe_axis: str | None = None,
     pipe_microbatches: int = 0,
+    pipe_chunks: int = 1,
 ) -> jnp.ndarray:
     """Run the backbone.
 
@@ -315,7 +316,8 @@ def backbone_apply(
                 blocks,
             )
         x = pipeline_blocks(
-            x, blocks, block_fn, mesh, pipe_axis, pipe_microbatches
+            x, blocks, block_fn, mesh, pipe_axis, pipe_microbatches,
+            num_chunks=pipe_chunks,
         )
     elif 0 < k < cfg.depth:
         # The prefix also skips the LoRA compute entirely: non-adapted

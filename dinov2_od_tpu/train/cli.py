@@ -83,6 +83,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipeline_microbatches", type=int, default=0,
                    help="microbatches for the pipeline schedule "
                         "(0 -> stage count)")
+    p.add_argument("--pipeline_chunks", type=int, default=1,
+                   help="chunks per pipeline stage: 1 = GPipe; >1 = "
+                        "interleaved schedule (each device holds that "
+                        "many non-consecutive depth chunks; bubble "
+                        "shrinks by the same factor; microbatches must "
+                        "divide by the stage count)")
 
     # Debug / overfit (reference train.py:1397-1406)
     p.add_argument("--debug", action="store_true")
@@ -282,6 +288,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         context_parallel=args.context_parallel,
         pipeline_parallel=args.pipeline_parallel,
         pipeline_microbatches=args.pipeline_microbatches,
+        pipeline_chunks=args.pipeline_chunks,
     )
 
     cfg = C.TrainConfig(

@@ -51,6 +51,7 @@ def _cp_kwargs(cfg: TrainConfig, mesh):
             "mesh": mesh,
             "pipe_axis": cfg.mesh.model_axis,
             "pipe_microbatches": cfg.mesh.pipeline_microbatches,
+            "pipe_chunks": cfg.mesh.pipeline_chunks,
         }
     return {}
 

@@ -76,6 +76,73 @@ def test_pipeline_blocks_matches_sequential(mesh):
         )
 
 
+@pytest.mark.parametrize("v,m", [(2, 4), (2, 8), (4, 4)])
+def test_interleaved_schedule_matches_sequential(mesh, v, m):
+    """The interleaved (multi-chunk) schedule — device p holds chunks
+    {p, P+p, ...} and microbatches lap the ring v times — is exact vs the
+    sequential scan, forward and gradients, for several (chunks,
+    microbatches) shapes. Bubble is (P-1) chunk-ticks vs GPipe's
+    v*(P-1)."""
+    L, B, D = 16, 16, 16
+    rng = np.random.default_rng(3)
+    ws = jnp.asarray(rng.normal(size=(L, D, D)).astype(np.float32) * 0.1)
+    bs = jnp.asarray(rng.normal(size=(L, D)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    params = {"w": ws, "b": bs}
+
+    def block_fn(c, p):
+        return jnp.tanh(c @ p["w"] + p["b"]), None
+
+    seq, _ = jax.lax.scan(block_fn, x, params)
+    pp = pipeline_blocks(
+        x, params, block_fn, mesh, "model", m, num_chunks=v
+    )
+    np.testing.assert_allclose(
+        np.asarray(pp), np.asarray(seq), rtol=1e-6, atol=1e-6
+    )
+
+    pp_skip = pipeline_blocks(
+        x, params, block_fn, mesh, "model", m, num_chunks=v,
+        skip_bubbles=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pp_skip), np.asarray(seq), rtol=1e-6, atol=1e-6
+    )
+
+    def loss_seq(params, x):
+        out, _ = jax.lax.scan(block_fn, x, params)
+        return jnp.sum(out ** 2)
+
+    def loss_pp(params, x):
+        return jnp.sum(
+            pipeline_blocks(
+                x, params, block_fn, mesh, "model", m, num_chunks=v
+            ) ** 2
+        )
+
+    g_seq = jax.grad(loss_seq)(params, x)
+    g_pp = jax.grad(loss_pp)(params, x)
+    for k in ("w", "b"):
+        np.testing.assert_allclose(
+            np.asarray(g_pp[k]), np.asarray(g_seq[k]), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_interleaved_rejects_bad_microbatches(mesh):
+    """v > 1 requires microbatches divisible by the stage count (the
+    schedule injects microbatches in groups of P)."""
+    x = jnp.zeros((8, 8))
+    params = {"w": jnp.zeros((8, 8, 8))}
+
+    def block_fn(c, p):
+        return c @ p["w"], None
+
+    with pytest.raises(ValueError, match="divisible by"):
+        pipeline_blocks(
+            x, params, block_fn, mesh, "model", 2, num_chunks=2
+        )
+
+
 def test_pipeline_backbone_forward_matches_plain(cfg, mesh):
     rng = np.random.default_rng(1)
     params = init_detector_params(jax.random.key(0), cfg)
@@ -86,6 +153,28 @@ def test_pipeline_backbone_forward_matches_plain(cfg, mesh):
     pp = detector_apply(params, cfg, images, deterministic=True,
                         attn_impl="xla", mesh=mesh, pipe_axis="model",
                         pipe_microbatches=2)
+    np.testing.assert_allclose(
+        np.asarray(pp["pred_logits"]), np.asarray(plain["pred_logits"]),
+        rtol=2e-4, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pp["pred_boxes"]), np.asarray(plain["pred_boxes"]),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_interleaved_backbone_forward_matches_plain(cfg, mesh):
+    """ViT-S depth 12 over 4 stages x 3 chunks (each device holds blocks
+    {p, 4+p, 8+p}) through the real detector forward."""
+    rng = np.random.default_rng(4)
+    params = init_detector_params(jax.random.key(0), cfg)
+    images = jnp.asarray(rng.uniform(0, 1, (8, 56, 56, 3)).astype(np.float32))
+
+    plain = detector_apply(params, cfg, images, deterministic=True,
+                           attn_impl="xla")
+    pp = detector_apply(params, cfg, images, deterministic=True,
+                        attn_impl="xla", mesh=mesh, pipe_axis="model",
+                        pipe_microbatches=4, pipe_chunks=3)
     np.testing.assert_allclose(
         np.asarray(pp["pred_logits"]), np.asarray(plain["pred_logits"]),
         rtol=2e-4, atol=2e-4,

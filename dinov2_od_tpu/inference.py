@@ -42,9 +42,19 @@ class Predictor:
         batch_size: int = 8,
         normalize: bool = True,
         fold_lora: bool = True,
+        quantize: Optional[str] = None,
     ):
         if fold_lora:
             params = fold_detector_lora(params, cfg)
+        if quantize == "int8":
+            # W8A8 serving path: backbone GEMMs on the MXU's int8 rate
+            # (+25-28% eval throughput measured on v5e, BENCH.md;
+            # requires folded LoRA — enforced by the quantizer).
+            from .models.quantize import quantize_detector_int8
+
+            params = quantize_detector_int8(params, cfg)
+        elif quantize is not None:
+            raise ValueError(f"unknown quantize mode: {quantize!r}")
         self.params = params
         self.cfg = cfg
         self.batch_size = batch_size

@@ -60,6 +60,10 @@ def lora_init(rng: jax.Array, in_dim: int, out_dim: int, r: int) -> Params:
 # ---------------------------------------------------------------------------
 
 def linear(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    if "kernel_q" in p:  # int8 serving params (models/quantize.py)
+        from .quantize import int8_linear
+
+        return int8_linear(x, p)
     return x @ p["kernel"].astype(x.dtype) + p["bias"].astype(x.dtype)
 
 

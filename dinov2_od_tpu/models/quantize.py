@@ -1,0 +1,132 @@
+"""Post-training int8 quantization (W8A8) for the serving path.
+
+TPU-native inference feature beyond the reference's surface (the
+reference serves fp32 torch, dino_detector/models/detector.py): the v5e
+MXU executes s8 x s8 -> s32 matmuls at twice the bf16 rate, and the
+backbone forward is ~93% weight GEMMs (qkv/proj/fc1/fc2), so quantizing
+just those six linears per block approaches a 2x ceiling on the
+GEMM-bound fraction of eval.
+
+Scheme (standard W8A8 dynamic quantization):
+- Weights: symmetric per-OUTPUT-channel int8 — scale_w[o] =
+  max_i |W[i, o]| / 127, stored once at quantization time. Per-channel
+  (not per-tensor) keeps the quantization error of the wide fc1/fc2
+  layers ~4x lower at zero runtime cost (the scale multiply fuses into
+  the epilogue).
+- Activations: symmetric per-TOKEN dynamic int8 — scale_x[b, t] =
+  max_d |x[b, t, d]| / 127 computed on the fly (one VPU reduce over the
+  feature dim, ~1% of the GEMM's cost). Dynamic scaling needs no
+  calibration data and tracks LayerNormed activation ranges exactly.
+- GEMM: `lax.dot_general(x_q, w_q, preferred_element_type=int32)` — XLA
+  lowers this onto the MXU's int8 path; the s32 result is rescaled by
+  scale_x * scale_w and the bias added in fp32.
+
+Attention internals (QK^T softmax PV, the Pallas flash kernel) and
+LayerNorm stay bf16/fp32: they are ~7% of FLOPs and carry the numerics
+that matter. The decoder is left unquantized (its compute is negligible
+at 50 queries; keeping the heads full-precision protects box regression
+accuracy).
+
+Usage (serving):
+    params = fold_detector_lora(params, cfg)   # LoRA -> base kernels
+    params = quantize_detector_int8(params, cfg)
+    out = detector_apply(params, cfg, images, deterministic=True)
+
+The apply functions in models/vit.py and models/layers.py dispatch on
+the presence of "kernel_q" in a linear's param dict, so the same
+detector_apply serves fp32/bf16/int8 param trees.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+_EPS = 1e-8
+_QMAX = 127.0
+
+
+def quantize_linear(p: Params) -> Params:
+    """Quantize one linear's kernel ([..., in, out], possibly stacked
+    over a leading depth dim) to symmetric per-output-channel int8.
+
+    Zeroed LoRA factors (post-fold) are dropped — the quantized apply
+    path is a single int8 GEMM.
+    """
+    w = p["kernel"].astype(jnp.float32)
+    w_scale = jnp.maximum(jnp.max(jnp.abs(w), axis=-2) / _QMAX, _EPS)
+    w_q = jnp.clip(
+        jnp.round(w / w_scale[..., None, :]), -_QMAX, _QMAX
+    ).astype(jnp.int8)
+    return {"kernel_q": w_q, "w_scale": w_scale, "bias": p["bias"]}
+
+
+def _quantize_acts(x: jnp.ndarray):
+    """Per-token symmetric dynamic quantization of activations."""
+    x32 = x.astype(jnp.float32)
+    x_scale = jnp.maximum(
+        jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / _QMAX, _EPS
+    )
+    x_q = jnp.clip(jnp.round(x32 / x_scale), -_QMAX, _QMAX).astype(jnp.int8)
+    return x_q, x_scale
+
+
+def int8_linear(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    """y = dequant(quant(x) @ kernel_q) + bias, output in x.dtype."""
+    x_q, x_scale = _quantize_acts(x)
+    y = jax.lax.dot_general(
+        x_q, p["kernel_q"],
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = y.astype(jnp.float32) * (x_scale * p["w_scale"])
+    return (out + p["bias"]).astype(x.dtype)
+
+
+def int8_qkv(x: jnp.ndarray, bp: Params) -> jnp.ndarray:
+    """Fused q/k/v as ONE int8 GEMM (mirrors the bf16 fused-qkv path):
+    int8 kernels and per-column scales concatenate losslessly because
+    both are per-output-channel."""
+    w_q = jnp.concatenate(
+        [bp[n]["kernel_q"] for n in ("q", "k", "v")], axis=1
+    )
+    w_scale = jnp.concatenate([bp[n]["w_scale"] for n in ("q", "k", "v")])
+    bias = jnp.concatenate([bp[n]["bias"] for n in ("q", "k", "v")])
+    return int8_linear(x, {"kernel_q": w_q, "w_scale": w_scale, "bias": bias})
+
+
+def quantize_backbone_int8(params: Params) -> Params:
+    """Quantize the backbone's per-block linears (stacked [depth, ...]).
+
+    Requires LoRA already folded (fold_detector_lora zeroes the factors);
+    raises if any factor is non-zero so a training tree cannot be
+    quantized by mistake.
+    """
+    blocks = {
+        k: (dict(v) if isinstance(v, dict) else v)
+        for k, v in params["blocks"].items()
+    }
+    for name in ("q", "k", "v", "proj", "fc1", "fc2"):
+        bp = blocks[name]
+        if "lora_B" in bp:
+            nonzero = jnp.any(bp["lora_B"] != 0)
+            if bool(nonzero):
+                raise ValueError(
+                    f"block linear '{name}' has unfolded LoRA factors; "
+                    "call fold_detector_lora before quantizing"
+                )
+        blocks[name] = quantize_linear(bp)
+    return {**params, "blocks": blocks}
+
+
+def quantize_detector_int8(params: Params, cfg=None) -> Params:
+    """int8-quantize the detector's backbone for serving (decoder and
+    patch/pos embeddings stay full precision — see module docstring)."""
+    return {
+        **params,
+        "backbone": quantize_backbone_int8(params["backbone"]),
+    }

@@ -113,6 +113,22 @@ def _attention(
     alpha = cfg.lora_alpha
     mode = cfg.lora_mode if lora_active else "skip"
 
+    if "kernel_q" in bp["q"]:
+        # int8 serving params: fused q/k/v as one s8xs8->s32 MXU GEMM
+        # (models/quantize.py). LoRA is already folded by contract.
+        from .quantize import int8_qkv
+
+        qkv = int8_qkv(x, bp)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, n, h, dh)
+        k = k.reshape(b, n, h, dh)
+        v = v.reshape(b, n, h, dh)
+        out = multi_head_attention(
+            q, k, v, impl=attn_impl, mesh=mesh, seq_axis=seq_axis,
+            batch_axis=batch_axis, kv_valid_len=valid_len,
+        ).reshape(b, n, d)
+        return _maybe_lora(out, bp["proj"], cfg, lora_active)
+
     # One fused [D, 3D] GEMM for q/k/v (the concat is a cheap on-chip copy;
     # three separate skinny GEMMs measurably underutilize the MXU).
     w_qkv = jnp.concatenate(
@@ -154,6 +170,8 @@ def _attention(
 def _maybe_lora(
     x: jnp.ndarray, p: Params, cfg: BackboneConfig, active: bool = True
 ) -> jnp.ndarray:
+    if "kernel_q" in p:  # int8 serving params (LoRA folded by contract)
+        return linear(x, p)
     if not active:
         return linear(x, p)
     if cfg.lora_mode == "fold" and "lora_A" in p:

@@ -269,3 +269,65 @@ def test_backward_block_mismatch_no_nan():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(bb), rtol=5e-4, atol=5e-4
         )
+
+
+def _lse_ref(q, k, v, scale, kv_len=None):
+    """Naive (o, lse) reference: lse in natural-log space, [B, Sq, H]."""
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    if kv_len is not None and kv_len < k.shape[1]:
+        ids = jnp.arange(k.shape[1])
+        s = jnp.where(ids[None, None, None, :] < kv_len, s, -jnp.inf)
+    lse = jax.scipy.special.logsumexp(s, axis=-1)
+    p = jnp.exp(s - lse[..., None])
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+    return o, jnp.transpose(lse, (0, 2, 1))
+
+
+@pytest.mark.parametrize(
+    "h,d,kv_len,flat",
+    [
+        (4, 32, None, True),    # flat kernel family
+        (4, 32, 33, True),      # flat + key masking
+        (3, 32, None, False),   # BHSD all-heads family
+        (3, 32, 33, False),     # BHSD + key masking
+    ],
+)
+def test_lse_variant_forward_and_grads(rng, h, d, kv_len, flat):
+    """flash_attention_lse returns (o, lse) with exact gradients through
+    BOTH outputs — the lse cotangent folds into the backward's delta
+    term (ring attention's merge differentiates through lse)."""
+    from dinov2_od_tpu.ops.flash_attention import flash_attention_lse
+
+    b, s = 2, 40
+    q, k, v = _rand_qkv(rng, b, s, h, d)
+    scale = 1.0 / np.sqrt(d)
+
+    o, lse = flash_attention_lse(
+        q, k, v, scale=scale, interpret=True, kv_len=kv_len, flat=flat
+    )
+    o_r, lse_r = _lse_ref(q, k, v, scale, kv_len)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_r),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_r),
+                               rtol=2e-5, atol=2e-5)
+
+    # A loss touching both outputs makes the lse cotangent nonzero.
+    def loss(fn):
+        def f(q, k, v):
+            o, l = fn(q, k, v)
+            return jnp.sum(o ** 2) + jnp.sum(jnp.sin(l))
+        return f
+
+    g = jax.grad(
+        loss(lambda q, k, v: flash_attention_lse(
+            q, k, v, scale=scale, interpret=True, kv_len=kv_len, flat=flat
+        )),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g_r = jax.grad(
+        loss(lambda q, k, v: _lse_ref(q, k, v, scale, kv_len)),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b_ in zip(g, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-5, atol=5e-5)

@@ -1,0 +1,86 @@
+"""int8 (W8A8) serving-path quantization (models/quantize.py): math
+correctness of the quantized linear, end-to-end closeness of the
+quantized detector forward, and the fold-before-quantize contract."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dinov2_od_tpu.config import lightweight_detector_config
+from dinov2_od_tpu.models import detector_apply, init_detector_params
+from dinov2_od_tpu.models.detector import fold_detector_lora
+from dinov2_od_tpu.models.quantize import (
+    int8_linear,
+    quantize_detector_int8,
+    quantize_linear,
+)
+
+
+def test_int8_linear_matches_dequant_reference(rng):
+    """int8_linear == the explicit quantize->int-matmul->dequant math,
+    and its error vs the fp32 linear is at the per-channel W8A8 level."""
+    i, o, n = 64, 96, 32
+    w = jnp.asarray(rng.normal(size=(i, o)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(o,)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(n, i)).astype(np.float32))
+    qp = quantize_linear({"kernel": w, "bias": b})
+    assert qp["kernel_q"].dtype == jnp.int8
+    assert qp["w_scale"].shape == (o,)
+
+    y_q = int8_linear(x, qp)
+    # Explicit reference of the same scheme.
+    xs = np.maximum(np.max(np.abs(np.asarray(x)), -1, keepdims=True) / 127, 1e-8)
+    xq = np.clip(np.round(np.asarray(x) / xs), -127, 127)
+    ref = (xq @ np.asarray(qp["kernel_q"], np.int32)) * xs * np.asarray(
+        qp["w_scale"]
+    ) + np.asarray(b)
+    np.testing.assert_allclose(np.asarray(y_q), ref, rtol=1e-5, atol=1e-5)
+
+    # Quantization error stays small relative to the fp32 output.
+    y_f = x @ w + b
+    rel = float(
+        jnp.linalg.norm(y_q - y_f) / jnp.linalg.norm(y_f)
+    )
+    assert rel < 0.02, rel
+
+
+def test_quantized_detector_close_to_float(rng):
+    cfg = lightweight_detector_config(image_size=56)
+    params = init_detector_params(jax.random.key(0), cfg)
+    params = fold_detector_lora(params, cfg)
+    qparams = quantize_detector_int8(params, cfg)
+
+    # All six per-block linears are int8; embeddings/LN/decoder are not.
+    for name in ("q", "k", "v", "proj", "fc1", "fc2"):
+        assert qparams["backbone"]["blocks"][name]["kernel_q"].dtype == jnp.int8
+    assert "kernel" in qparams["backbone"]["patch_embed"]
+    assert "kernel_q" not in str(jax.tree_util.tree_structure(qparams["decoder"]))
+
+    images = jnp.asarray(rng.uniform(0, 1, (2, 56, 56, 3)).astype(np.float32))
+    out_f = jax.jit(
+        lambda p, im: detector_apply(p, cfg, im, deterministic=True)
+    )(params, images)
+    out_q = jax.jit(
+        lambda p, im: detector_apply(p, cfg, im, deterministic=True)
+    )(qparams, images)
+
+    rel = float(
+        jnp.linalg.norm(out_q["pred_logits"] - out_f["pred_logits"])
+        / jnp.linalg.norm(out_f["pred_logits"])
+    )
+    assert rel < 0.15, rel
+    # Boxes are sigmoid outputs in [0, 1]: absolute closeness.
+    dbox = float(jnp.max(jnp.abs(out_q["pred_boxes"] - out_f["pred_boxes"])))
+    assert dbox < 0.08, dbox
+
+
+def test_quantize_requires_folded_lora(rng):
+    cfg = lightweight_detector_config(image_size=56)
+    params = init_detector_params(jax.random.key(0), cfg)
+    # Make a LoRA factor non-zero (training state).
+    blocks = params["backbone"]["blocks"]
+    b = blocks["q"]["lora_B"]
+    params["backbone"]["blocks"]["q"]["lora_B"] = b.at[...].set(0.01)
+    with pytest.raises(ValueError, match="fold_detector_lora"):
+        quantize_detector_int8(params, cfg)

@@ -84,3 +84,22 @@ def test_quantize_requires_folded_lora(rng):
     params["backbone"]["blocks"]["q"]["lora_B"] = b.at[...].set(0.01)
     with pytest.raises(ValueError, match="fold_detector_lora"):
         quantize_detector_int8(params, cfg)
+
+
+def test_fused_int8_gemm_matches_unfused(rng):
+    """The fused Pallas quant-GEMM kernel (ops/int8_gemm.py, the TPU
+    wide-K serving path) is bit-identical to the unfused int8 math —
+    interpret mode on CPU, fc2-like and non-divisible-M shapes."""
+    from dinov2_od_tpu.ops.int8_gemm import fused_int8_linear, int8_gemm_eligible
+
+    for m, k, n in ((64, 2048, 256), (61, 2048, 256)):  # 61: M padding
+        assert int8_gemm_eligible(m, k, n)
+        w = jnp.asarray(rng.normal(size=(k, n)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+        qp = quantize_linear({"kernel": w, "bias": b})
+        x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+        y_f = fused_int8_linear(x, qp, interpret=True)
+        y_u = int8_linear(x, qp)
+        np.testing.assert_allclose(
+            np.asarray(y_f), np.asarray(y_u), rtol=1e-6, atol=1e-6
+        )

@@ -67,14 +67,44 @@ def build_step():
     )
     params = init_detector_params(jax.random.key(0), det)
     params = cast_frozen_weights(params, det)
-    tx = make_optimizer(cfg.optim, det, params)
-    state = create_train_state(params, cfg.optim, det)
-    step = make_train_step(cfg, tx)
     raw = make_batch(
         np.random.default_rng(0), batch_size, image_size=image_size,
         max_boxes=25,
     )
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
+
+    if os.environ.get("BENCH_MODE") == "eval":
+        # Forward-only serving step, optionally int8-quantized
+        # (BENCH_QUANT=int8) — mirrors bench.py eval mode.
+        import jax as _jax
+
+        from dinov2_od_tpu.models import detector_apply
+        from dinov2_od_tpu.models.detector import fold_detector_lora
+
+        eval_params = fold_detector_lora(params, det)
+        if os.environ.get("BENCH_QUANT") == "int8":
+            from dinov2_od_tpu.models.quantize import quantize_detector_int8
+
+            eval_params = quantize_detector_int8(eval_params, det)
+        fwd = _jax.jit(
+            lambda p, im: detector_apply(p, det, im, deterministic=True)
+        )
+
+        class _EvalShim:
+            """Adapts the eval forward to the (state, batch, rng) step
+            interface the trace loop drives."""
+
+            params = eval_params
+
+        def eval_step(state, batch, rng):
+            out = fwd(eval_params, batch["images"])
+            return _EvalShim, out
+
+        return eval_step, _EvalShim, batch
+
+    tx = make_optimizer(cfg.optim, det, params)
+    state = create_train_state(params, cfg.optim, det)
+    step = make_train_step(cfg, tx)
     return step, state, batch
 
 

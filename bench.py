@@ -67,6 +67,9 @@ def main() -> int:
             # gradient stacking costs ~15ms/step at ViT-B batch 32
             # (trace-verified); unrolled = 507 vs 407 img/s.
             scan_unroll=0,
+            # BENCH_PREFIX_INT8=1: int8 forward for the frozen prefix
+            # blocks (stop-gradiented -> pure inference; BENCH.md).
+            prefix_int8=os.environ.get("BENCH_PREFIX_INT8", "0") == "1",
         ),
     )
     cfg = TrainConfig(

@@ -74,6 +74,13 @@ class BackboneConfig:
     # 5e-4 — an order of magnitude below bf16 resolution. Set False for
     # bit-level parity runs against torch's exact nn.GELU (HF Dinov2).
     gelu_approximate: bool = True
+    # int8 (W8A8) forward for the FROZEN prefix blocks during training:
+    # the blocks below the LoRA boundary are stop-gradiented, so their
+    # forward is pure inference and the serving quantization scheme
+    # (models/quantize.py) applies — weights quantize in-graph per step
+    # (they are step inputs), activations per token. Opt-in; the
+    # adapted suffix and everything with gradients stays bf16/fp32.
+    prefix_int8: bool = False
     hidden_dim_override: Optional[int] = None
     depth_override: Optional[int] = None
     num_heads_override: Optional[int] = None

@@ -347,6 +347,22 @@ def backbone_apply(
             lambda a: jax.lax.stop_gradient(a[:k]), params["blocks"]
         )
         suffix = jax.tree_util.tree_map(lambda a: a[k:], params["blocks"])
+        if cfg.prefix_int8:
+            # The stop-gradiented prefix forward is pure inference, so
+            # the W8A8 serving scheme applies during TRAINING. Weights
+            # quantize here in-graph (stacked [k, i, o] leaves; ~0.2 ms
+            # at ViT-B — far less than the int8 GEMM saving); the block
+            # body dispatches on kernel_q like the serving path.
+            from .quantize import quantize_linear
+
+            prefix = {
+                name: (
+                    quantize_linear(sub)
+                    if name in ("q", "k", "v", "proj", "fc1", "fc2")
+                    else sub
+                )
+                for name, sub in prefix.items()
+            }
         x = run_blocks(x, prefix, k, make_block_fn(False))
         x = run_blocks(x, suffix, cfg.depth - k, block_fn)
     else:

@@ -130,6 +130,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "stored bf16 — numerically identical since the "
                         "forward casts anyway). float32 default matches "
                         "the reference")
+    p.add_argument("--backbone_prefix_int8", type=str2bool, default=False,
+                   help="int8 (W8A8) forward for the frozen prefix "
+                        "blocks during training: they are stop-"
+                        "gradiented, so their forward is pure inference "
+                        "and the serving quantization applies (adapted "
+                        "suffix stays full precision)")
     p.add_argument("--aux_loss", type=str2bool, default=False,
                    help="deep supervision: match+score every intermediate "
                         "decoder layer (Deformable-DETR sec. 4); not in "
@@ -217,6 +223,11 @@ def build_detector_config(args) -> C.DetectorConfig:
         cfg = dataclasses.replace(
             cfg,
             backbone=dataclasses.replace(cfg.backbone, dtype=args.backbone_dtype),
+        )
+    if args.backbone_prefix_int8:
+        cfg = dataclasses.replace(
+            cfg,
+            backbone=dataclasses.replace(cfg.backbone, prefix_int8=True),
         )
     return cfg
 

@@ -103,3 +103,42 @@ def test_fused_int8_gemm_matches_unfused(rng):
         np.testing.assert_allclose(
             np.asarray(y_f), np.asarray(y_u), rtol=1e-6, atol=1e-6
         )
+
+
+def test_prefix_int8_training_forward(rng):
+    """cfg.backbone.prefix_int8: the frozen (stop-gradiented) prefix
+    runs W8A8 during training. Forward stays close to full precision;
+    gradients exist only where they should (suffix LoRA + decoder) and
+    are finite."""
+    import dataclasses
+
+    cfg = lightweight_detector_config(image_size=56)
+    cfg_q = dataclasses.replace(
+        cfg, backbone=dataclasses.replace(cfg.backbone, prefix_int8=True)
+    )
+    params = init_detector_params(jax.random.key(0), cfg)
+    images = jnp.asarray(rng.uniform(0, 1, (2, 56, 56, 3)).astype(np.float32))
+
+    out_f = detector_apply(params, cfg, images, deterministic=True)
+    out_q = detector_apply(params, cfg_q, images, deterministic=True)
+    rel = float(
+        jnp.linalg.norm(out_q["pred_logits"] - out_f["pred_logits"])
+        / jnp.linalg.norm(out_f["pred_logits"])
+    )
+    assert rel < 0.15, rel
+
+    def loss(p):
+        out = detector_apply(p, cfg_q, images, deterministic=True)
+        return jnp.sum(out["pred_logits"] ** 2) + jnp.sum(out["pred_boxes"])
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # The quantized prefix is stop-gradiented: frozen prefix kernels get
+    # exactly-zero grads; the adapted suffix LoRA factors get nonzero.
+    k = cfg.backbone.depth - cfg.backbone.lora_last_n_blocks
+    gq = g["backbone"]["blocks"]["q"]
+    assert float(np.abs(np.asarray(gq["kernel"][:k])).max()) == 0.0
+    # (lora_A's grad is zero at init by construction: B is zero-init and
+    # dA is proportional to B. lora_B's grad is the live one.)
+    assert float(np.abs(np.asarray(gq["lora_B"][k:])).max()) > 0.0

@@ -255,6 +255,28 @@ def test_flash_impl_valid_len_grads(rng, mesh):
         np.testing.assert_allclose(a[:, s_real:], 0.0, atol=5e-6)
 
 
+def test_flash_impl_dp_x_cp(rng):
+    """Flash impl under a DP x CP mesh: batch sharded over 'data',
+    sequence over 'model' — compute stays data-sharded (batch_axis) and
+    results match the single-device reference."""
+    dpcp = create_mesh(model_parallel_size=4)  # data 2 x model 4
+    b, s, h, d = 2, 64, 2, 16
+    q, k, v = _qkv(rng, b, s, h, d)
+    scale = 1.0 / np.sqrt(d)
+    sharding = NamedSharding(dpcp, P("data", "model", None, None))
+    qs, ks, vs = (jax.device_put(x, sharding) for x in (q, k, v))
+
+    out = ring_attention(
+        qs, ks, vs, scale=scale, mesh=dpcp, axis="model",
+        batch_axis="data", impl="flash", interpret=True,
+    )
+    ref = _xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+    assert out.sharding.spec == P("data", "model", None, None)
+
+
 def test_jit_composes_with_mesh(rng, mesh):
     b, s, h, d = 1, 64, 2, 8
     q, k, v = _qkv(rng, b, s, h, d)

@@ -142,3 +142,22 @@ def test_prefix_int8_training_forward(rng):
     # (lora_A's grad is zero at init by construction: B is zero-init and
     # dA is proportional to B. lora_B's grad is the live one.)
     assert float(np.abs(np.asarray(gq["lora_B"][k:])).max()) > 0.0
+
+
+def test_quantized_params_checkpoint_roundtrip(rng, tmp_path):
+    """An int8 serving tree survives an Orbax save/restore cycle
+    (deploy-once, serve-many: quantize, save, load on the serving host)."""
+    from dinov2_od_tpu.train.checkpoint import restore_checkpoint, save_final_params
+
+    cfg = lightweight_detector_config(image_size=56)
+    params = fold_detector_lora(
+        init_detector_params(jax.random.key(0), cfg), cfg
+    )
+    qparams = quantize_detector_int8(params, cfg)
+    path = save_final_params(str(tmp_path), qparams, name="int8_model")
+    restored, _, _, _ = restore_checkpoint(path, qparams, None)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(qparams), jax.tree_util.tree_leaves(restored)
+    ):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -319,6 +319,15 @@ def backbone_apply(
     # backward, and (under remat) forward recomputation.
     k = max(0, cfg.depth - cfg.lora_last_n_blocks)
     if pipe_axis is not None:
+        if cfg.prefix_int8:
+            # The pipeline branch streams the WHOLE depth stack through
+            # one uniform block body (no prefix/suffix split), so the
+            # frozen-prefix quantization cannot apply — fail loudly
+            # instead of silently running bf16.
+            raise ValueError(
+                "prefix_int8 is not supported under pipeline parallelism "
+                "(the depth stack is not split at the LoRA boundary there)"
+            )
         # Pipeline parallelism: the depth stack streams over the mesh
         # axis GPipe-style. The LoRA-boundary split is expressed by
         # stop-gradienting the prefix entries of the stacked leaves

@@ -161,3 +161,25 @@ def test_quantized_params_checkpoint_roundtrip(rng, tmp_path):
     ):
         assert a.dtype == b.dtype
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_prefix_int8_rejected_under_pipeline(rng):
+    """prefix_int8 + pipeline parallelism raises instead of silently
+    running the prefix in bf16 (the PP branch has no LoRA-boundary
+    split)."""
+    import dataclasses
+
+    from dinov2_od_tpu.parallel import create_mesh
+
+    cfg = lightweight_detector_config(image_size=56)
+    cfg_q = dataclasses.replace(
+        cfg, backbone=dataclasses.replace(cfg.backbone, prefix_int8=True)
+    )
+    mesh = create_mesh(model_parallel_size=4)
+    params = init_detector_params(jax.random.key(0), cfg)
+    images = jnp.asarray(rng.uniform(0, 1, (4, 56, 56, 3)).astype(np.float32))
+    with pytest.raises(ValueError, match="pipeline"):
+        detector_apply(
+            params, cfg_q, images, deterministic=True, mesh=mesh,
+            pipe_axis="model", pipe_microbatches=2,
+        )

@@ -331,3 +331,36 @@ def test_lse_variant_forward_and_grads(rng, h, d, kv_len, flat):
     for a, b_ in zip(g, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=5e-5, atol=5e-5)
+
+
+def test_lse_variant_cross_attention_shapes(rng):
+    """flash_attention_lse on Sq != Sk (BHSD path): forward and both
+    cotangent paths stay exact."""
+    from dinov2_od_tpu.ops.flash_attention import flash_attention_lse
+
+    b, sq, sk, h, d = 1, 24, 56, 2, 32
+    q, k, v = _rand_qkv(rng, b, sq, h, d, sk=sk)
+    scale = 1.0 / np.sqrt(d)
+    o, lse = flash_attention_lse(q, k, v, scale=scale, interpret=True)
+    o_r, lse_r = _lse_ref(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_r),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_r),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(fn):
+        def f(q, k, v):
+            o, l = fn(q, k, v)
+            return jnp.sum(o ** 2) + jnp.sum(jnp.cos(l))
+        return f
+
+    g = jax.grad(
+        loss(lambda q, k, v: flash_attention_lse(
+            q, k, v, scale=scale, interpret=True)), argnums=(0, 1, 2)
+    )(q, k, v)
+    g_r = jax.grad(
+        loss(lambda q, k, v: _lse_ref(q, k, v, scale)), argnums=(0, 1, 2)
+    )(q, k, v)
+    for a, b_ in zip(g, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-5, atol=5e-5)

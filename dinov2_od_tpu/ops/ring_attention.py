@@ -28,14 +28,23 @@ Two inner-loop implementations (`impl`):
   probabilities per block instead of saving them.
 
 Either way forward attention memory is linear in the local sequence.
-What the backward keeps is the per-ring-step K/V carries (AD through the
-rotation), i.e. O(global KV) per device — the standard ring-attention AD
-cost; removing it would need a hand-written reverse-rotation VJP.
+Backward memory:
+
+- flash impl: O(LOCAL) — a hand-written reverse-rotation custom VJP
+  re-rotates K/V a second time in the backward, recomputes each step's
+  kernel forward, feeds the merge-weighted cotangents (g_o_i = w_i g_o,
+  g_lse_i = w_i ((o_i - o) . g_o), w_i = exp(lse_i - lse)) into the
+  flash kernel's own VJP, and accumulates dk/dv in buffers that rotate
+  WITH the shards so each contribution lands on its home device after
+  the full cycle. Residuals are just (q, k, v, o, lse); cost is one
+  extra forward recompute (~10% on fwd+bwd, measured).
+- blockwise impl: AD through the rotation stores the per-ring-step K/V
+  carries — O(global KV) per device, the standard ring AD cost.
 
 Exactness: identical to full attention up to fp32 summation order
 (validated against the XLA path on an 8-device CPU mesh in
-tests/test_ring_attention.py), including the backward pass (shard_map +
-ppermute are differentiable).
+tests/test_ring_attention.py), including the backward pass of BOTH
+impls (the custom VJP is pinned by the same grad-equality tests).
 """
 
 from __future__ import annotations
@@ -107,15 +116,13 @@ def ring_attention(
     def local_flash(q_loc, k_loc, v_loc):
         from .flash_attention import flash_attention_lse
 
-        n = jax.lax.psum(1, axis)
-        my = jax.lax.axis_index(axis)
         sk = k_loc.shape[1]
         n_static = mesh.shape[axis]
 
         def attend(kvl):
-            def f(k_cur, v_cur):
+            def f(q, k_cur, v_cur):
                 return flash_attention_lse(
-                    q_loc, k_cur, v_cur, scale=scale, kv_len=kvl,
+                    q, k_cur, v_cur, scale=scale, kv_len=kvl,
                     interpret=interpret,
                 )
             return f
@@ -136,50 +143,115 @@ def ring_attention(
             branches = [attend(sk), attend(kvl_partial), attend(0)]
             step_attn = None
 
-        def one_step(src, k_cur, v_cur):
+        def one_step(src, q, k_cur, v_cur):
             if branches is None:
-                return step_attn(k_cur, v_cur)
+                return step_attn(q, k_cur, v_cur)
             case = jnp.where(
                 (src + 1) * sk <= valid_len,
                 0,
                 jnp.where(src * sk < valid_len, 1, 2),
             )
-            return jax.lax.switch(case, branches, k_cur, v_cur)
+            return jax.lax.switch(case, branches, q, k_cur, v_cur)
 
-        # Recompute the step's kernel forward in the backward instead of
-        # saving (out, lse, q) per ring step; the k/v ring carries are
-        # the only per-step residuals (the standard O(global KV) ring AD
-        # cost).
-        one_step = jax.checkpoint(one_step, static_argnums=())
-
+        perm = [(jj, (jj + 1) % n_static) for jj in range(n_static)]
         b, sq, h, dh = q_loc.shape
-        o0 = jnp.zeros((b, sq, h, dh), jnp.float32)
-        lse0 = jnp.full((b, sq, h), -jnp.inf, jnp.float32)
 
-        def body(i, carry):
-            o_c, lse_c, k_cur, v_cur = carry
-            src = jax.lax.rem(my - i + n, n)
-            o_i, lse_i = one_step(src, k_cur, v_cur)
-            # Merge the partial softmax: o_new is the lse-weighted
-            # average of the normalized partials.
-            m = jnp.maximum(lse_c, lse_i)
-            a = jnp.exp(lse_c - m)
-            bb = jnp.exp(lse_i - m)
-            denom = a + bb
-            o_c = (
-                o_c * a[..., None]
-                + o_i.astype(jnp.float32) * bb[..., None]
-            ) / denom[..., None]
-            lse_c = m + jnp.log(denom)
-            perm = [(jj, (jj + 1) % n_static) for jj in range(n_static)]
-            k_cur = jax.lax.ppermute(k_cur, axis, perm)
-            v_cur = jax.lax.ppermute(v_cur, axis, perm)
-            return (o_c, lse_c, k_cur, v_cur)
+        def fwd_loop(q, k, v):
+            # axis_index must be taken inside THIS trace: the custom_vjp
+            # backward runs in its own trace, and a value captured from
+            # the enclosing one would be a leaked tracer.
+            n = jax.lax.psum(1, axis)
+            my = jax.lax.axis_index(axis)
+            o0 = jnp.zeros((b, sq, h, dh), jnp.float32)
+            lse0 = jnp.full((b, sq, h), -jnp.inf, jnp.float32)
 
-        o, _, _, _ = jax.lax.fori_loop(
-            0, n_static, body, (o0, lse0, k_loc, v_loc)
-        )
-        return o.astype(q_loc.dtype)
+            def body(i, carry):
+                o_c, lse_c, k_cur, v_cur = carry
+                src = jax.lax.rem(my - i + n, n)
+                o_i, lse_i = one_step(src, q, k_cur, v_cur)
+                # Merge the partial softmax: o_new is the lse-weighted
+                # average of the normalized partials.
+                m = jnp.maximum(lse_c, lse_i)
+                a = jnp.exp(lse_c - m)
+                bb = jnp.exp(lse_i - m)
+                denom = a + bb
+                o_c = (
+                    o_c * a[..., None]
+                    + o_i.astype(jnp.float32) * bb[..., None]
+                ) / denom[..., None]
+                lse_c = m + jnp.log(denom)
+                k_cur = jax.lax.ppermute(k_cur, axis, perm)
+                v_cur = jax.lax.ppermute(v_cur, axis, perm)
+                return (o_c, lse_c, k_cur, v_cur)
+
+            o, lse, _, _ = jax.lax.fori_loop(
+                0, n_static, body, (o0, lse0, k, v)
+            )
+            return o, lse
+
+        # Hand-written reverse-rotation VJP: AD through the forward loop
+        # would store the per-step K/V ring carries (O(global KV) per
+        # device). Instead the backward re-rotates K/V a second time and
+        # recomputes each step's kernel forward, so backward memory is
+        # O(local): residuals are just (q, k, v, o, lse). Cotangent
+        # calculus for the merge o = sum_i w_i o_i, w_i = exp(lse_i -
+        # lse): g_o_i = w_i g_o and g_lse_i = w_i ((o_i - o) . g_o);
+        # these feed the flash kernel's own VJP (exact lse gradients).
+        # dk/dv contributions are added to accumulators that rotate WITH
+        # the shards — after the full cycle (n rotations) each
+        # contribution has travelled n - i hops and lands exactly on its
+        # home device ((my + n - i) == (my - i) == src_i mod n).
+
+        @jax.custom_vjp
+        def ring_core(q, k, v):
+            o, _ = fwd_loop(q, k, v)
+            return o.astype(q.dtype)
+
+        def ring_core_fwd(q, k, v):
+            o, lse = fwd_loop(q, k, v)
+            return o.astype(q.dtype), (q, k, v, o, lse)
+
+        def ring_core_bwd(res, g):
+            q, k, v, o, lse = res
+            g32 = g.astype(jnp.float32)
+            n = jax.lax.psum(1, axis)
+            my = jax.lax.axis_index(axis)
+
+            def body(i, carry):
+                dq, dk_a, dv_a, k_cur, v_cur = carry
+                src = jax.lax.rem(my - i + n, n)
+                (o_i, lse_i), vjp_fn = jax.vjp(
+                    lambda qq, kk, vv: one_step(src, qq, kk, vv),
+                    q, k_cur, v_cur,
+                )
+                w = jnp.exp(lse_i - lse)  # [B, Sq, H]
+                g_oi = g32 * w[..., None]
+                g_lsei = (
+                    jnp.sum(g32 * (o_i.astype(jnp.float32) - o), axis=-1)
+                    * w
+                )
+                dq_i, dk_i, dv_i = vjp_fn((g_oi.astype(o_i.dtype), g_lsei))
+                dq = dq + dq_i.astype(jnp.float32)
+                dk_a = dk_a + dk_i.astype(jnp.float32)
+                dv_a = dv_a + dv_i.astype(jnp.float32)
+                k_cur = jax.lax.ppermute(k_cur, axis, perm)
+                v_cur = jax.lax.ppermute(v_cur, axis, perm)
+                dk_a = jax.lax.ppermute(dk_a, axis, perm)
+                dv_a = jax.lax.ppermute(dv_a, axis, perm)
+                return (dq, dk_a, dv_a, k_cur, v_cur)
+
+            zeros = jnp.zeros(q.shape, jnp.float32)
+            dq, dk_a, dv_a, _, _ = jax.lax.fori_loop(
+                0, n_static, body, (zeros, zeros, zeros, k, v)
+            )
+            return (
+                dq.astype(q.dtype),
+                dk_a.astype(k.dtype),
+                dv_a.astype(v.dtype),
+            )
+
+        ring_core.defvjp(ring_core_fwd, ring_core_bwd)
+        return ring_core(q_loc, k_loc, v_loc)
 
     def local(q_loc, k_loc, v_loc):
         n = jax.lax.psum(1, axis)

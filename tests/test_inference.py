@@ -60,3 +60,26 @@ def test_predictor_accepts_arrays_and_respects_threshold():
     low = p.detect(imgs, score_threshold=0.0)
     high = p.detect(imgs, score_threshold=0.99)
     assert sum(len(d) for d in low) >= sum(len(d) for d in high)
+
+
+def test_predictor_int8_quantized_serving():
+    """Predictor(quantize='int8') folds LoRA, quantizes the backbone,
+    and serves detections close to the bf16 predictor's."""
+    cfg = _cfg()
+    params = init_detector_params(jax.random.key(2), cfg)
+    p_f = Predictor(params, cfg, batch_size=2, fold_lora=True)
+    p_q = Predictor(params, cfg, batch_size=2, fold_lora=True,
+                    quantize="int8")
+    assert str(p_q.params["backbone"]["blocks"]["q"]["kernel_q"].dtype) == "int8"
+    imgs = [np.random.default_rng(7).uniform(size=(56, 56, 3)).astype(np.float32)]
+    d_f = p_f.detect(imgs, score_threshold=0.0)
+    d_q = p_q.detect(imgs, score_threshold=0.0)
+    # Same number of query slots survive at threshold 0; scores close.
+    assert len(d_f[0]) == len(d_q[0])
+    s_f = sorted(d["score"] for d in d_f[0])
+    s_q = sorted(d["score"] for d in d_q[0])
+    np.testing.assert_allclose(s_f, s_q, atol=0.05)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="quantize"):
+        Predictor(params, cfg, quantize="int4")

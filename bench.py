@@ -136,7 +136,13 @@ def main() -> int:
                 "metric": (
                     f"ViT-{model[0].upper()}/14+DETR(deformable) {mode} "
                     f"step throughput (batch {batch_size}, {image_size}px, "
-                    f"bf16 backbone, {jax.default_backend()})"
+                    + (
+                        "int8 W8A8 backbone, "
+                        if mode == "eval"
+                        and os.environ.get("BENCH_QUANT") == "int8"
+                        else "bf16 backbone, "
+                    )
+                    + f"{jax.default_backend()})"
                 ),
                 "value": round(images_per_sec_chip, 2),
                 "unit": "images/sec/chip",

@@ -75,8 +75,8 @@ def _quantize_acts(x: jnp.ndarray):
     return x_q, x_scale
 
 
-def int8_linear(x: jnp.ndarray, p: Params) -> jnp.ndarray:
-    """y = dequant(quant(x) @ kernel_q) + bias, output in x.dtype.
+def _int8_matmul(x, kernel_q, w_scale, bias):
+    """Forward body of int8_linear (no AD rules of its own).
 
     Wide-K linears (fc2-shaped, K >= 2048) dispatch to the fused
     Pallas quant-GEMM kernel (ops/int8_gemm.py) on TPU: the activation
@@ -88,20 +88,67 @@ def int8_linear(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     if k >= 2048 and jax.default_backend() == "tpu":
         from ..ops.int8_gemm import fused_int8_linear, int8_gemm_eligible
 
-        n = p["kernel_q"].shape[1]
+        n = kernel_q.shape[1]
         m = 1
         for d in x.shape[:-1]:
             m *= d
         if int8_gemm_eligible(m, k, n):
-            return fused_int8_linear(x, p)
+            return fused_int8_linear(
+                x, {"kernel_q": kernel_q, "w_scale": w_scale, "bias": bias}
+            )
     x_q, x_scale = _quantize_acts(x)
     y = jax.lax.dot_general(
-        x_q, p["kernel_q"],
+        x_q, kernel_q,
         (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    out = y.astype(jnp.float32) * (x_scale * p["w_scale"])
-    return (out + p["bias"]).astype(x.dtype)
+    out = y.astype(jnp.float32) * (x_scale * w_scale)
+    return (out + bias).astype(x.dtype)
+
+
+@jax.custom_vjp
+def _int8_linear_ste(x, kernel_q, w_scale, bias):
+    return _int8_matmul(x, kernel_q, w_scale, bias)
+
+
+def _int8_linear_fwd(x, kernel_q, w_scale, bias):
+    out = _int8_matmul(x, kernel_q, w_scale, bias)
+    return out, (kernel_q, w_scale)
+
+
+def _int8_linear_bwd(res, dy):
+    # Straight-through estimator: the quantize/dequantize round-trips
+    # are treated as identity, so dx flows through the DEQUANTIZED
+    # weight (exact for the linear part, standard STE for the rounding).
+    # Without this, jnp.round's zero gradient silently killed dx on any
+    # future differentiable caller, and the Pallas path crashed under AD.
+    kernel_q, w_scale = res
+    w_deq = kernel_q.astype(jnp.float32) * w_scale  # [K, N]
+    dy32 = dy.astype(jnp.float32)
+    # The forward returns x.dtype, so dy's dtype IS x's dtype.
+    dx = jax.lax.dot_general(
+        dy32, w_deq, (((dy.ndim - 1,), (1,)), ((), ()))
+    ).astype(dy.dtype)
+    # bias grad is exact; kernel_q is integer (float0 cotangent) and
+    # w_scale is a frozen quantization constant (symbolic zero).
+    db = dy32.sum(axis=tuple(range(dy.ndim - 1)))
+    import numpy as np
+
+    dkq = np.zeros(kernel_q.shape, dtype=jax.dtypes.float0)
+    return dx, dkq, jnp.zeros_like(w_scale), db
+
+
+_int8_linear_ste.defvjp(_int8_linear_fwd, _int8_linear_bwd)
+
+
+def int8_linear(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    """y = dequant(quant(x) @ kernel_q) + bias, output in x.dtype.
+
+    Differentiable w.r.t. x via a straight-through estimator (see
+    _int8_linear_bwd) so callers above the frozen prefix — or future
+    QAT-style uses — get correct activation gradients instead of the
+    silent zeros jnp.round would produce."""
+    return _int8_linear_ste(x, p["kernel_q"], p["w_scale"], p["bias"])
 
 
 def int8_qkv(x: jnp.ndarray, bp: Params) -> jnp.ndarray:

@@ -155,7 +155,15 @@ def pipeline_blocks(
             out, _ = jax.lax.scan(block_fn, inp, params_c)
             return out
 
-        perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+        # The (P-1 -> 0) wrap edge only carries live payload when the
+        # interleaved schedule feeds chunk c+1 from the last stage's
+        # chunk-c output; under GPipe (v == 1) stage 0 always injects
+        # fresh microbatches, so the wrap would ship one dead
+        # activation-sized transfer per tick — drop it.
+        if v > 1:
+            perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+        else:
+            perm = [(i, i + 1) for i in range(n_stages - 1)]
         ticks = v * m + n_stages - 1
 
         def tick(carry, t):

@@ -50,13 +50,39 @@ def download_file(url: str, dest: str, desc: Optional[str] = None) -> bool:
         return False
 
 
-def extract_archive(path: str, out_dir: str) -> bool:
-    """Extract .zip or .tar.gz (reference download_coco.py:106-130)."""
+def extract_archive(
+    path: str,
+    out_dir: str,
+    max_samples: Optional[int] = None,
+) -> bool:
+    """Extract .zip or .tar.gz (reference download_coco.py:106-130).
+
+    With max_samples set and an image archive, extract only that many
+    .jpg files (plus every directory and non-image file) — the
+    reference's debug-mode partial extraction (train.py:352-409).
+    """
     print(f"extracting {path} -> {out_dir}")
     try:
         if path.endswith(".zip"):
             with zipfile.ZipFile(path) as z:
-                z.extractall(out_dir)
+                names = z.namelist()
+                if max_samples is not None and "images" in os.path.basename(path):
+                    dirs = [n for n in names if n.endswith("/")]
+                    imgs = [
+                        n for n in names
+                        if n.endswith(".jpg") and not n.endswith("/")
+                    ][:max_samples]
+                    other = [
+                        n for n in names
+                        if not n.endswith(".jpg") and not n.endswith("/")
+                    ]
+                    print(
+                        f"debug mode: extracting {len(imgs)} images and "
+                        f"{len(other)} other files"
+                    )
+                    names = dirs + imgs + other
+                for name in names:
+                    z.extract(name, out_dir)
         elif path.endswith((".tar.gz", ".tgz")):
             with tarfile.open(path, "r:gz") as t:
                 t.extractall(out_dir)
@@ -74,8 +100,12 @@ def download_coco_dataset(
     train: bool = False,
     val: bool = False,
     test: bool = False,
+    max_samples: Optional[int] = None,
 ) -> bool:
-    """Fetch+extract the requested COCO splits (reference train.py:411-489)."""
+    """Fetch+extract the requested COCO splits (reference train.py:411-489).
+
+    max_samples caps image extraction per archive (debug mode,
+    reference train.py:450-471)."""
     os.makedirs(data_dir, exist_ok=True)
     ok = True
     jobs = []
@@ -97,7 +127,7 @@ def download_coco_dataset(
         seen.add(key)
         archive = os.path.join(data_dir, fname)
         if download_file(COCO_URLS[key], archive, desc=fname):
-            ok &= extract_archive(archive, data_dir)
+            ok &= extract_archive(archive, data_dir, max_samples=max_samples)
         else:
             ok = False
     if ok:
@@ -119,11 +149,14 @@ def main(argv=None) -> int:
     p.add_argument("--train", action="store_true")
     p.add_argument("--val", action="store_true")
     p.add_argument("--test", action="store_true")
+    p.add_argument("--max_samples", type=int, default=None,
+                   help="debug mode: extract at most N images per archive")
     args = p.parse_args(argv)
     if not (args.train or args.val or args.test):
         p.error("choose at least one of --train/--val/--test")
     return 0 if download_coco_dataset(
-        args.data_dir, args.train, args.val, args.test
+        args.data_dir, args.train, args.val, args.test,
+        max_samples=args.max_samples,
     ) else 1
 
 

@@ -167,6 +167,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="accepted for compatibility; JAX selects the backend")
     p.add_argument("--num_classes", type=int, default=91)
     p.add_argument("--memory_monitor", action="store_true")
+    p.add_argument("--num_workers", type=int, default=C.DataConfig.num_workers,
+                   help="data-loading worker count (reference "
+                        "config.py:8); decode/resize threads for the "
+                        "threaded loader, processes for grain")
+    p.add_argument("--checkpoint_frequency", type=int,
+                   default=C.TrainConfig.checkpoint_every_epochs,
+                   help="save a checkpoint every N epochs (reference "
+                        "hardcodes 10, train.py:1279)")
     p.add_argument("--loader", type=str, default="threaded",
                    choices=["threaded", "grain"],
                    help="input pipeline backend: the zero-dependency "
@@ -270,6 +278,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             train=args.download_train_data,
             val=args.download_val_data,
             test=args.download_test_data,
+            # Debug mode extracts only the needed image subset
+            # (reference train.py:450-471).
+            max_samples=args.debug_samples if args.debug else None,
         )
         if not args.train_images and args.download_train_data:
             args.train_images = os.path.join(args.data_dir, "train2017")
@@ -314,6 +325,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             batch_size=args.batch_size,
             normalize=not (args.no_normalize or args.parity_mode),
             loader=args.loader,
+            num_workers=args.num_workers,
         ),
         optim=C.OptimConfig(
             gradient_accumulation_steps=args.gradient_accumulation_steps,
@@ -324,6 +336,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         num_epochs=num_epochs or 50,
         debug=args.debug,
         share_aux_match=args.share_aux_match,
+        checkpoint_every_epochs=args.checkpoint_frequency,
     )
 
     logger.info("devices: %s", jax.devices())

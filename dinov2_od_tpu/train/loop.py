@@ -184,7 +184,7 @@ def run_training(
     model_parallel: int = 1,
     val_frequency: int = 5,
     log_frequency: int = 10,
-    checkpoint_every: int = 10,
+    checkpoint_every: Optional[int] = None,
     memory_monitor: bool = False,
     parity_mode: bool = False,
     log_images_enabled: bool = False,
@@ -192,6 +192,8 @@ def run_training(
 ) -> TrainState:
     os.makedirs(output_dir, exist_ok=True)
     num_epochs = num_epochs or cfg.num_epochs
+    if checkpoint_every is None:
+        checkpoint_every = cfg.checkpoint_every_epochs
     history = metrics_history or {
         "epochs": [], "train_loss": [],
         "val_epochs": [], "val_AP": [], "val_AP50": [], "val_AP75": [],

@@ -183,3 +183,28 @@ def test_prefix_int8_rejected_under_pipeline(rng):
             params, cfg_q, images, deterministic=True, mesh=mesh,
             pipe_axis="model", pipe_microbatches=2,
         )
+
+
+def test_int8_linear_ste_gradient(rng):
+    """Activation gradients flow through int8_linear via the
+    straight-through estimator: d/dx of sum(int8_linear(x)) equals the
+    dequantized weight's row sums (quant ops treated as identity), and
+    the bias gradient is exact. Guards against jnp.round's zero
+    gradient silently killing dx (ADVICE r3)."""
+    i, o, n = 32, 48, 8
+    w = jnp.asarray(rng.normal(size=(i, o)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(o,)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(n, i)).astype(np.float32))
+    qp = quantize_linear({"kernel": w, "bias": b})
+
+    dx = jax.grad(lambda xx: int8_linear(xx, qp).sum())(x)
+    w_deq = np.asarray(qp["kernel_q"], np.float32) * np.asarray(qp["w_scale"])
+    expected = np.broadcast_to(w_deq.sum(axis=1), (n, i))
+    np.testing.assert_allclose(np.asarray(dx), expected, rtol=1e-5, atol=1e-5)
+    assert float(np.abs(np.asarray(dx)).max()) > 0.0
+
+    # Bias gradient is exact; w_scale's is a defined symbolic zero.
+    db = jax.grad(
+        lambda bb: int8_linear(x, {**qp, "bias": bb}).sum()
+    )(b)
+    np.testing.assert_allclose(np.asarray(db), np.full((o,), float(n)), rtol=1e-6)

@@ -54,3 +54,34 @@ def test_download_requires_a_split():
 
     with pytest.raises(SystemExit):
         dl_main(["--data_dir", "/tmp/nope"])
+
+
+def test_extract_archive_debug_partial(tmp_path):
+    """Debug-mode partial extraction (reference train.py:352-409):
+    image archives extract only max_samples .jpg files, plus every
+    directory and non-image file."""
+    import zipfile
+
+    from dinov2_od_tpu.tools.download import extract_archive
+
+    archive = tmp_path / "val_images.zip"
+    with zipfile.ZipFile(archive, "w") as z:
+        z.writestr("val2017/", "")
+        for i in range(10):
+            z.writestr(f"val2017/{i:012d}.jpg", b"fakejpg")
+        z.writestr("val2017/readme.txt", "meta")
+
+    out = tmp_path / "out"
+    assert extract_archive(str(archive), str(out), max_samples=3)
+    jpgs = [p for p in (out / "val2017").iterdir() if p.suffix == ".jpg"]
+    assert len(jpgs) == 3
+    assert (out / "val2017" / "readme.txt").exists()
+
+    # Non-image archives (no 'images' in the name) extract fully.
+    ann = tmp_path / "annotations.zip"
+    with zipfile.ZipFile(ann, "w") as z:
+        for i in range(5):
+            z.writestr(f"annotations/f{i}.json", "{}")
+    out2 = tmp_path / "out2"
+    assert extract_archive(str(ann), str(out2), max_samples=1)
+    assert len(list((out2 / "annotations").iterdir())) == 5

@@ -220,6 +220,15 @@ class DataConfig:
     # "grain" (data/grain_pipeline.py — multiprocess prefetch +
     # checkpointable iterators; requires the grain package).
     loader: str = "threaded"
+    # Host->device image feed dtype. "uint8" ships raw bytes and runs
+    # /255 + normalization in-jit (train/step.py prep_images): 4x less
+    # transfer volume and host fp32 math. "float32" preprocesses on the
+    # host (reference behavior, dataset.py:55).
+    feed_dtype: str = "uint8"
+    # JPEG decode backend: "auto" = libjpeg scaled decode via cv2 +
+    # SIMD resize (2.3x PIL, resampling-level pixel differences);
+    # "pil" = exact reference decode (full PIL + bilinear).
+    decode_backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

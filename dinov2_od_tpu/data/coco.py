@@ -31,15 +31,87 @@ import numpy as np
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
+_CV2 = None
 
-def _load_image(path: str, image_size: int) -> np.ndarray:
+
+def _cv2():
+    global _CV2
+    if _CV2 is None:
+        try:
+            import cv2
+
+            # One decode per worker thread; intra-op threading just
+            # fights the pool (and the single host core).
+            cv2.setNumThreads(1)
+            _CV2 = cv2
+        except Exception:  # noqa: BLE001
+            _CV2 = False
+    return _CV2
+
+
+def _decode_pil(path: str, image_size: int) -> np.ndarray:
+    """Exact reference decode: full PIL load + bilinear resize
+    (reference dataset.py:55, train.py:584-587). Returns uint8 HWC."""
     from PIL import Image
 
     with Image.open(path) as im:
         im = im.convert("RGB").resize(
             (image_size, image_size), Image.Resampling.BILINEAR
         )
-        return np.asarray(im, np.float32) / 255.0
+        return np.asarray(im, np.uint8)
+
+
+def _decode_fast(path: str, image_size: int) -> np.ndarray:
+    """Fast decode: libjpeg scaled (DCT-domain) decode via cv2's
+    IMREAD_REDUCED flags — the decoder emits at 1/2^k resolution chosen
+    so the result stays >= the target — then SIMD bilinear resize.
+    2.3x the PIL path on COCO-sized JPEGs (tools/bench_input.py); pixel
+    values differ from PIL at the resampling-kernel level (mean ~2-6/255
+    on worst-case noise images), so parity runs use backend='pil'."""
+    cv2 = _cv2()
+    if not cv2:
+        return _decode_pil(path, image_size)
+    import io
+
+    from PIL import Image
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    # Header-only size peek (PIL lazy open reads no pixel data).
+    try:
+        with Image.open(io.BytesIO(buf)) as im:
+            w, h = im.size
+    except Exception:  # noqa: BLE001
+        w = h = image_size * 8
+    factor = 1
+    while factor < 8 and min(w, h) // (factor * 2) >= image_size:
+        factor *= 2
+    flags = {
+        1: cv2.IMREAD_COLOR,
+        2: cv2.IMREAD_REDUCED_COLOR_2,
+        4: cv2.IMREAD_REDUCED_COLOR_4,
+        8: cv2.IMREAD_REDUCED_COLOR_8,
+    }
+    arr = cv2.imdecode(np.frombuffer(buf, np.uint8), flags[factor])
+    if arr is None:
+        return _decode_pil(path, image_size)
+    if arr.ndim == 2:
+        arr = cv2.cvtColor(arr, cv2.COLOR_GRAY2RGB)
+    else:
+        arr = cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
+    return cv2.resize(
+        arr, (image_size, image_size), interpolation=cv2.INTER_LINEAR
+    )
+
+
+def _decode_image(path: str, image_size: int, backend: str = "auto") -> np.ndarray:
+    if backend == "pil":
+        return _decode_pil(path, image_size)
+    return _decode_fast(path, image_size)
+
+
+def _load_image(path: str, image_size: int) -> np.ndarray:
+    return _decode_pil(path, image_size).astype(np.float32) / 255.0
 
 
 class CocoDetectionDataset:
@@ -53,12 +125,19 @@ class CocoDetectionDataset:
         max_boxes: int = 100,
         normalize: bool = True,
         indices: Optional[List[int]] = None,
+        output_dtype: str = "float32",
+        decode_backend: str = "auto",
     ):
         self.images_dir = images_dir
         self.coco_path = annotation_file
         self.image_size = image_size
         self.max_boxes = max_boxes
         self.normalize = normalize
+        # output_dtype='uint8' defers /255 + normalization to the jitted
+        # step (train/step.py prep_images): the host ships raw bytes —
+        # 4x less host->device traffic and no per-pixel fp32 host math.
+        self.output_dtype = output_dtype
+        self.decode_backend = decode_backend
 
         with open(annotation_file) as f:
             coco = json.load(f)
@@ -84,9 +163,15 @@ class CocoDetectionDataset:
     def get_example(self, idx: int) -> Dict[str, np.ndarray]:
         img_id = self.image_ids[idx]
         info = self.images[img_id]
-        image = _load_image(
-            os.path.join(self.images_dir, info["file_name"]), self.image_size
+        image_u8 = _decode_image(
+            os.path.join(self.images_dir, info["file_name"]),
+            self.image_size,
+            self.decode_backend,
         )
+        if self.output_dtype == "uint8":
+            image = image_u8
+        else:
+            image = image_u8.astype(np.float32) / 255.0
         height = info.get("height") or image.shape[0]
         width = info.get("width") or image.shape[1]
 
@@ -114,7 +199,7 @@ class CocoDetectionDataset:
             out_labels[:n] = np.asarray(labels[:n], np.int32)
             out_valid[:n] = True
 
-        if self.normalize:
+        if self.normalize and self.output_dtype != "uint8":
             image = (image - IMAGENET_MEAN) / IMAGENET_STD
 
         return {
@@ -137,10 +222,14 @@ class CocoTestDataset:
         image_size: int = 224,
         normalize: bool = True,
         indices: Optional[List[int]] = None,
+        output_dtype: str = "float32",
+        decode_backend: str = "auto",
     ):
         self.images_dir = images_dir
         self.image_size = image_size
         self.normalize = normalize
+        self.output_dtype = output_dtype
+        self.decode_backend = decode_backend
         self.coco_path = (
             annotation_file
             if annotation_file and os.path.exists(annotation_file)
@@ -181,9 +270,13 @@ class CocoTestDataset:
         path = os.path.join(self.images_dir, info["file_name"])
         with Image.open(path) as im:
             width, height = im.size
-        image = _load_image(path, self.image_size)
-        if self.normalize:
-            image = (image - IMAGENET_MEAN) / IMAGENET_STD
+        image_u8 = _decode_image(path, self.image_size, self.decode_backend)
+        if self.output_dtype == "uint8":
+            image = image_u8
+        else:
+            image = image_u8.astype(np.float32) / 255.0
+            if self.normalize:
+                image = (image - IMAGENET_MEAN) / IMAGENET_STD
         return {
             "images": image,
             "image_id": np.int64(img_id),

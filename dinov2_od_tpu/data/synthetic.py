@@ -93,12 +93,19 @@ def write_coco_dataset(
     image_size: int = 224,
     seed: int = 0,
     max_objects: int = 4,
+    fmt: str = "png",
+    quality: int = 90,
 ) -> Tuple[str, str]:
-    """Write a COCO-format dataset (PNG images + annotations JSON).
+    """Write a COCO-format dataset (PNG or JPEG images + annotations JSON).
 
     Category ids are deliberately non-contiguous (10, 20, ...) to exercise
     the contiguous-label remapping the reference performs
     (dataset.py:35, :96-99).
+
+    fmt="jpg" with image_size~640 approximates real COCO inputs (JPEG,
+    640-class resolution) for host-pipeline benchmarking
+    (tools/bench_input.py); boxes are normalized so any source size
+    trains identically after the loader's resize.
 
     Returns:
       (images_dir, annotation_file)
@@ -120,10 +127,13 @@ def write_coco_dataset(
     ann_id = 1
     for img_id in range(1, num_images + 1):
         img, boxes, labels = make_sample(rng, image_size, max_objects=max_objects)
-        fname = f"{img_id:012d}.png"
-        Image.fromarray((img * 255).astype(np.uint8)).save(
-            os.path.join(images_dir, fname)
-        )
+        ext = "jpg" if fmt in ("jpg", "jpeg") else "png"
+        fname = f"{img_id:012d}.{ext}"
+        pil_img = Image.fromarray((img * 255).astype(np.uint8))
+        if ext == "jpg":
+            pil_img.save(os.path.join(images_dir, fname), quality=quality)
+        else:
+            pil_img.save(os.path.join(images_dir, fname))
         coco["images"].append(
             {
                 "id": img_id,

@@ -25,10 +25,30 @@ from .state import TrainState, mask_gradients, stop_gradient_frozen
 
 Batch = Dict[str, jnp.ndarray]
 # Expected batch keys:
-#   images: [B, H, W, 3] float32
+#   images: [B, H, W, 3] float32 (preprocessed) or uint8 (raw bytes;
+#           /255 + normalization happen in-jit via prep_images)
 #   labels: [B, G] int32
 #   boxes:  [B, G, 4] float32 cxcywh in [0, 1]
 #   valid:  [B, G] bool
+
+
+def prep_images(images: jnp.ndarray, normalize: bool) -> jnp.ndarray:
+    """Device-side image preprocessing for raw uint8 feeds.
+
+    The host ships bytes (4x less host->device traffic than fp32 — the
+    dominant cost on narrow links) and XLA fuses /255 + normalize into
+    the first consumer. Float inputs are passed through untouched: the
+    convention is integer = raw, float = already preprocessed (the
+    reference does both on host CPU workers, dataset.py:55,
+    train.py:584-587)."""
+    if not jnp.issubdtype(images.dtype, jnp.integer):
+        return images
+    x = images.astype(jnp.float32) / 255.0
+    if normalize:
+        from ..data.coco import IMAGENET_MEAN, IMAGENET_STD
+
+        x = (x - IMAGENET_MEAN) / IMAGENET_STD
+    return x
 
 
 def _cp_kwargs(cfg: TrainConfig, mesh):
@@ -77,7 +97,7 @@ def make_train_step(
             out = detector_apply(
                 params,
                 det_cfg,
-                batch["images"],
+                prep_images(batch["images"], cfg.data.normalize),
                 rng=step_rng,
                 deterministic=False,
                 use_remat=cfg.use_remat,
@@ -151,7 +171,13 @@ def make_eval_step(cfg: TrainConfig, mesh=None):
 
     @jax.jit
     def eval_step(params, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        return detector_apply(params, det_cfg, images, deterministic=True, **cp)
+        return detector_apply(
+            params,
+            det_cfg,
+            prep_images(images, cfg.data.normalize),
+            deterministic=True,
+            **cp,
+        )
 
     return eval_step
 
@@ -162,7 +188,12 @@ def make_loss_eval_step(cfg: TrainConfig):
 
     @jax.jit
     def loss_eval_step(params, batch: Batch) -> Dict[str, jnp.ndarray]:
-        out = detector_apply(params, det_cfg, batch["images"], deterministic=True)
+        out = detector_apply(
+            params,
+            det_cfg,
+            prep_images(batch["images"], cfg.data.normalize),
+            deterministic=True,
+        )
         return set_criterion(
             out["pred_logits"],
             out["pred_boxes"],

@@ -172,3 +172,140 @@ def test_grain_loader_matches_threaded_loader(coco_fixture):
     assert not np.array_equal(ids0, ids1)
     # All ids are real dataset ids.
     assert set(ids0.tolist()) <= set(d for d in ds.image_ids)
+
+
+def test_uint8_feed_matches_float_path(coco_fixture):
+    """uint8 feed + in-jit prep_images == float32 host preprocessing:
+    the deferred /255 + normalize must produce the same tensors."""
+    import jax.numpy as jnp
+
+    from dinov2_od_tpu.train.step import prep_images
+
+    images_dir, ann_file = coco_fixture
+    f32 = CocoDetectionDataset(
+        images_dir, ann_file, image_size=32, normalize=True,
+        decode_backend="pil",
+    )
+    u8 = CocoDetectionDataset(
+        images_dir, ann_file, image_size=32, normalize=True,
+        output_dtype="uint8", decode_backend="pil",
+    )
+    a = f32.get_example(0)["images"]
+    raw = u8.get_example(0)["images"]
+    assert raw.dtype == np.uint8
+    b = prep_images(jnp.asarray(raw), normalize=True)
+    np.testing.assert_allclose(np.asarray(b), a, atol=1e-6)
+    # normalize=False -> /255 only (reference ToTensor semantics).
+    c = prep_images(jnp.asarray(raw), normalize=False)
+    np.testing.assert_allclose(np.asarray(c), raw.astype(np.float32) / 255.0)
+    # Float inputs pass through untouched (already preprocessed).
+    d = prep_images(jnp.asarray(a), normalize=True)
+    np.testing.assert_array_equal(np.asarray(d), a)
+
+
+def test_decode_backend_auto_close_to_pil(coco_fixture):
+    """The fast (cv2 scaled-decode) backend stays at resampling-kernel
+    distance from the exact PIL reference decode."""
+    images_dir, ann_file = coco_fixture
+    pil = CocoDetectionDataset(
+        images_dir, ann_file, image_size=64, normalize=False,
+        output_dtype="uint8", decode_backend="pil",
+    )
+    fast = CocoDetectionDataset(
+        images_dir, ann_file, image_size=64, normalize=False,
+        output_dtype="uint8", decode_backend="auto",
+    )
+    a = pil.get_example(0)["images"].astype(np.int16)
+    b = fast.get_example(0)["images"].astype(np.int16)
+    assert b.shape == a.shape
+    assert np.abs(a - b).mean() < 20  # resampling-level, not structural
+
+
+def test_device_prefetch_preserves_order_and_keys(coco_fixture):
+    import jax
+
+    from dinov2_od_tpu.data.loader import device_prefetch
+
+    images_dir, ann_file = coco_fixture
+    ds = CocoDetectionDataset(images_dir, ann_file, image_size=32, max_boxes=8)
+    loader = DataLoader(ds, batch_size=4, shuffle=False, drop_last=False)
+    direct = list(loader)
+
+    def _tag(batch):
+        batch["_n"] = len(batch["images"])
+        return batch
+
+    got = list(
+        device_prefetch(
+            iter(DataLoader(ds, 4, shuffle=False, drop_last=False)),
+            None, size=2, device_keys=("images",), transform=_tag,
+        )
+    )
+    assert len(got) == len(direct)
+    for g, d in zip(got, direct):
+        assert isinstance(g["images"], jax.Array)
+        assert isinstance(g["image_id"], np.ndarray)  # host key untouched
+        assert g["_n"] == len(d["images"])
+        np.testing.assert_array_equal(np.asarray(g["images"]), d["images"])
+        np.testing.assert_array_equal(g["labels"], d["labels"])
+
+
+def test_device_prefetch_propagates_errors():
+    from dinov2_od_tpu.data.loader import device_prefetch
+
+    def bad_iter():
+        yield {"x": np.zeros(3)}
+        raise RuntimeError("decode failed")
+
+    it = device_prefetch(bad_iter(), None, size=1)
+    next(it)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(it)
+
+
+def test_async_evaluate_dataset_matches_sync_reference(coco_fixture):
+    """The double-buffered evaluate_dataset must produce exactly the
+    results of a plain synchronous loop (order included) — the async
+    overlap is a pure scheduling change."""
+    import jax.numpy as jnp
+
+    from dinov2_od_tpu.train.loop import evaluate_dataset
+
+    images_dir, ann_file = coco_fixture
+    ds = CocoDetectionDataset(
+        images_dir, ann_file, image_size=32, max_boxes=8, normalize=False
+    )
+    q, c = 5, len(ds.cat_id_to_label) + 1
+
+    def fake_eval_step(params, images):
+        # Deterministic predictions derived from the batch content.
+        m = jnp.mean(images, axis=(1, 2, 3), keepdims=False)
+        logits = jnp.tile(m[:, None, None], (1, q, c)) * jnp.arange(
+            1, c + 1, dtype=jnp.float32
+        )
+        boxes = jnp.tile(
+            jnp.asarray([[0.5, 0.5, 0.2, 0.2]], jnp.float32), (images.shape[0], q, 1)
+        )
+        return {"pred_logits": logits, "pred_boxes": boxes}
+
+    got = evaluate_dataset(
+        fake_eval_step, None, ds, batch_size=4, label_to_cat_id=ds.label_to_cat_id
+    )
+
+    # Plain synchronous reference.
+    expected = []
+    loader = DataLoader(ds, 4, shuffle=False, drop_last=False)
+    for batch in loader:
+        n = len(batch["images"])
+        batch = pad_batch(batch, 4)
+        out = fake_eval_step(None, np.asarray(batch["images"]))
+        expected.extend(
+            postprocess_detections(
+                np.asarray(out["pred_logits"])[:n],
+                np.asarray(out["pred_boxes"])[:n],
+                batch["image_id"][:n],
+                batch["orig_size"][:n],
+                ds.label_to_cat_id,
+            )
+        )
+    assert got == expected

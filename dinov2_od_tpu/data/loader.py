@@ -11,8 +11,15 @@ with a dependency-free loader tuned for the TPU feed pattern:
 - seeded, epoch-aware shuffling (`set_epoch` semantics of
   DistributedSampler, train.py:1039) so runs are reproducible.
 
-There is no per-process sharding: JAX SPMD is single-process per host, and
-the batch is sharded across devices by the step's 'data' axis sharding.
+Multi-host: every process computes the SAME global batch sequence (the
+shuffle is seeded identically), and each decodes only its interleaved
+slice `idxs[process_id::process_count]` of every global batch — the
+per-host half of jax.make_array_from_process_local_data (see
+parallel/multihost.py). Because batch composition is decided globally,
+an N-process run consumes exactly the batches a 1-process run would
+(tested by equality in tests/test_multihost.py). Within a host, the
+batch is sharded across local devices by the step's 'data' axis
+sharding.
 """
 
 from __future__ import annotations
@@ -35,6 +42,8 @@ class DataLoader:
         drop_last: bool = False,
         num_workers: int = 4,
         prefetch: int = 2,
+        process_count: int = 1,
+        process_id: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -44,6 +53,13 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.epoch = 0
+        if process_count > 1 and batch_size % process_count:
+            raise ValueError(
+                f"global batch_size {batch_size} must divide evenly over "
+                f"{process_count} processes"
+            )
+        self.process_count = process_count
+        self.process_id = process_id
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -70,13 +86,35 @@ class DataLoader:
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
+        local_real: list = []
+        if self.process_count > 1:
+            # This host materializes only its interleaved slice of each
+            # global batch; global row order is concat-by-process, which
+            # is exactly how make_array_from_process_local_data lays host
+            # shards into the global array. A trailing partial batch is
+            # padded to the full global size by repeating its first index
+            # (every host MUST step in SPMD), and each batch carries
+            # `_local_n` = this host's count of real (non-padding) rows —
+            # real rows form a prefix of the local slice because global
+            # row g maps to local row (g - pid) / pcount monotonically.
+            pid, pc = self.process_id, self.process_count
+            padded = []
+            for b in batches:
+                n = len(b)
+                if n < self.batch_size:
+                    b = np.concatenate(
+                        [b, np.full(self.batch_size - n, b[0], b.dtype)]
+                    )
+                padded.append(b[pid::pc])
+                local_real.append(max(0, -(-(n - pid) // pc)) if n > pid else 0)
+            batches = padded
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
-                for idxs in batches:
+                for bi, idxs in enumerate(batches):
                     if stop.is_set():
                         break
                     examples = list(pool.map(self.dataset.get_example, idxs))
@@ -84,6 +122,8 @@ class DataLoader:
                         k: np.stack([e[k] for e in examples])
                         for k in examples[0]
                     }
+                    if local_real:
+                        batch["_local_n"] = np.int64(local_real[bi])
                     q.put(batch)
             q.put(None)
 
@@ -123,18 +163,28 @@ def device_prefetch(
     step-scale cost). device_keys=None transfers every key; keys not
     listed stay host numpy (image_id/orig_size metadata).
 
+    Multi-host: when more than one JAX process is attached, device keys
+    are assembled into globally-sharded arrays with
+    jax.make_array_from_process_local_data — each process supplies its
+    local rows (the loader's per-host slice) and the result spans the
+    whole mesh. Single-process keeps plain device_put.
+
     Yields dicts mixing device arrays (device_keys) and host arrays.
     """
     import jax
 
     q: "queue.Queue" = queue.Queue(maxsize=max(1, size))
     stop = threading.Event()
+    multiprocess = jax.process_count() > 1 and sharding is not None
 
     def put_on_device(batch):
         out = {}
         for k, v in batch.items():
             if device_keys is None or k in device_keys:
-                out[k] = jax.device_put(v, sharding)
+                if multiprocess:
+                    out[k] = jax.make_array_from_process_local_data(sharding, v)
+                else:
+                    out[k] = jax.device_put(v, sharding)
             else:
                 out[k] = v
         return out

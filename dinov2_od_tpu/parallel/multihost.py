@@ -27,22 +27,28 @@ def initialize_multihost(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    auto: bool = False,
 ) -> None:
-    """Join the multi-host job. On TPU pods the arguments are discovered
-    from the environment; passing None everywhere is correct there. A
-    no-op for single-process runs."""
+    """Join the multi-host job. With explicit arguments, passes them to
+    jax.distributed.initialize. With auto=True and no arguments (the CLI's
+    bare --multihost), initializes with pod environment auto-discovery.
+    Without auto, the no-argument call stays a single-process no-op."""
     if num_processes in (None, 0, 1) and coordinator_address is None:
-        try:
-            if jax.process_count() > 1:
-                return  # already initialized by the runtime
-        except Exception:  # noqa: BLE001
-            pass
-        return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+        if auto:
+            jax.distributed.initialize()
+        else:
+            try:
+                if jax.process_count() > 1:
+                    return  # already initialized by the runtime
+            except Exception:  # noqa: BLE001
+                pass
+            return
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
     logger.info(
         "multihost: process %d/%d, %d local / %d global devices",
         jax.process_index(), jax.process_count(),

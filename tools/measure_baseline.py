@@ -171,6 +171,14 @@ def measure_ap(args) -> dict:
     Scoring uses our evaluator in fixed-protocol mode (NOT parity_mode):
     boxes rescaled to original pixels, real category ids, class 0 kept —
     identical to how our framework's AP on this dataset was computed.
+
+    --deformable switches the decoder to the reference's deformable path
+    (VERDICT r3 item 3: two-sided deformable parity at non-floor AP).
+    The headline config is infeasible on CPU (the Python quadruple
+    sampling loop with .item() syncs, deformable_attention.py:147-170,
+    runs at ~0.16 img/s ⇒ ~21 h/run) — but the DOWN-SCALED lightweight
+    config (Q=25, 4 heads, 2 points, 2 layers) is ~25x fewer loop
+    iterations per image and CPU-feasible at small image sizes.
     """
     # Our evaluator's postprocess uses jax; keep it off the TPU tunnel —
     # this is a CPU-only torch job that may run alongside TPU work.
@@ -201,11 +209,12 @@ def measure_ap(args) -> dict:
             dino_model_name="facebook/dinov2-small",
             hidden_dim=256, num_queries=25, num_decoder_layers=2,
             dim_feedforward=512, lora_r=1, nheads=4,
-            use_deformable=False,
+            use_deformable=args.deformable, n_points=args.n_points,
         )
     else:
         model = DINOv2ObjectDetector(
-            num_classes=args.num_classes, use_deformable=False
+            num_classes=args.num_classes,
+            use_deformable=args.deformable, n_points=args.n_points,
         )
     matcher = HungarianMatcher(
         cost_class=ref_config.set_cost_class,
@@ -301,7 +310,8 @@ def measure_ap(args) -> dict:
 
     out = {
         "mode": "synthetic_ap",
-        "decoder": "standard",
+        "decoder": "deformable" if args.deformable else "standard",
+        "n_points": args.n_points if args.deformable else None,
         "lightweight": bool(args.lightweight),
         "num_epochs": args.num_epochs,
         "batch_size": args.batch_size,
@@ -318,7 +328,7 @@ def measure_ap(args) -> dict:
     if os.path.exists(path):
         with open(path) as f:
             existing = json.load(f)
-    existing["synthetic_ap"] = out
+    existing["synthetic_ap_deformable" if args.deformable else "synthetic_ap"] = out
     with open(path, "w") as f:
         json.dump(existing, f, indent=2)
     print(f"saved -> {path}")
@@ -342,6 +352,9 @@ def main():
     p.add_argument("--val_images")
     p.add_argument("--val_annotations")
     p.add_argument("--lightweight", action="store_true")
+    p.add_argument("--n_points", type=int, default=2,
+                   help="deformable sampling points (reference config.py "
+                        "n_points; used with --deformable)")
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--num_classes", type=int, default=7)
     p.add_argument("--num_epochs", type=int, default=30)

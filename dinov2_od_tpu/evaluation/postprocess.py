@@ -72,27 +72,23 @@ def select_topk_detections(
     return top_scores, top_label, xywh
 
 
-def postprocess_detections(
-    pred_logits,
-    pred_boxes,
+def format_detections(
+    scores,
+    labels,
+    boxes,
     image_ids,
-    orig_sizes,
     label_to_cat_id: Dict[int, int],
     score_threshold: float = 0.05,
-    max_detections: int = 100,
     parity_mode: bool = False,
 ) -> List[dict]:
-    """Convert raw model outputs for a batch into COCO result dicts.
+    """Host-side formatting of already-selected top-k detections
+    ([B, K] scores/labels, [B, K, 4] xywh boxes) into COCO result dicts.
 
-    score_threshold matches the reference's 0.05 (utils.py:214).
+    This is the only part of post-processing that must run on the host
+    (COCO results are JSON dicts); the selection itself should run fused
+    in the eval step (train/step.py::make_eval_topk_step) so only these
+    compact arrays cross the device->host link.
     """
-    scores, labels, boxes = select_topk_detections(
-        jnp.asarray(pred_logits),
-        jnp.asarray(pred_boxes),
-        jnp.asarray(orig_sizes),
-        max_detections=max_detections,
-        parity_mode=parity_mode,
-    )
     scores = np.asarray(scores)
     labels = np.asarray(labels)
     boxes = np.asarray(boxes)
@@ -114,3 +110,37 @@ def postprocess_detections(
                 }
             )
     return results
+
+
+def postprocess_detections(
+    pred_logits,
+    pred_boxes,
+    image_ids,
+    orig_sizes,
+    label_to_cat_id: Dict[int, int],
+    score_threshold: float = 0.05,
+    max_detections: int = 100,
+    parity_mode: bool = False,
+) -> List[dict]:
+    """Convert raw model outputs for a batch into COCO result dicts.
+
+    score_threshold matches the reference's 0.05 (utils.py:214).
+
+    Note for hot paths: this uploads full [B, Q, C] logits to the device
+    for the top-k and reads the result back — three link crossings per
+    batch. evaluate_dataset instead fuses select_topk_detections into
+    the eval step and calls format_detections on the compact result;
+    this function remains for one-shot uses and for scoring host-side
+    (e.g. torch reference) outputs with the identical protocol.
+    """
+    scores, labels, boxes = select_topk_detections(
+        jnp.asarray(pred_logits),
+        jnp.asarray(pred_boxes),
+        jnp.asarray(orig_sizes),
+        max_detections=max_detections,
+        parity_mode=parity_mode,
+    )
+    return format_detections(
+        scores, labels, boxes, image_ids, label_to_cat_id,
+        score_threshold=score_threshold, parity_mode=parity_mode,
+    )

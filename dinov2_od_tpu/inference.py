@@ -26,7 +26,7 @@ import numpy as np
 
 from .config import DetectorConfig, detector_config_for_model_name
 from .data.coco import IMAGENET_MEAN, IMAGENET_STD, _load_image
-from .evaluation.postprocess import postprocess_detections
+from .evaluation.postprocess import format_detections, select_topk_detections
 from .models import detector_apply, init_detector_params
 from .models.detector import fold_detector_lora
 from .train.checkpoint import restore_checkpoint
@@ -61,8 +61,19 @@ class Predictor:
         self.normalize = normalize
         self.label_to_cat_id = label_to_cat_id or {}
         self.class_names = class_names or {}
-        self._forward = jax.jit(
-            lambda p, x: detector_apply(p, cfg, x, deterministic=True)
+        # One fused dispatch per batch: forward + device-side top-k
+        # selection, so only compact [B, K] results cross the link
+        # (jitted once per distinct max_detections).
+        def _forward_topk(p, x, sizes, max_detections):
+            out = detector_apply(p, cfg, x, deterministic=True)
+            scores, labels, boxes = select_topk_detections(
+                out["pred_logits"], out["pred_boxes"], sizes,
+                max_detections=max_detections,
+            )
+            return scores, labels, boxes
+
+        self._forward_topk = jax.jit(
+            _forward_topk, static_argnames=("max_detections",)
         )
 
     @classmethod
@@ -136,15 +147,17 @@ class Predictor:
             if pad:
                 chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
                 sizes = np.concatenate([sizes, np.ones((pad, 2), sizes.dtype)])
-            out = self._forward(self.params, jnp.asarray(chunk))
-            results = postprocess_detections(
-                np.asarray(out["pred_logits"])[: bs - pad],
-                np.asarray(out["pred_boxes"])[: bs - pad],
+            scores, labels, boxes = self._forward_topk(
+                self.params, jnp.asarray(chunk), jnp.asarray(sizes),
+                max_detections,
+            )
+            results = format_detections(
+                np.asarray(scores)[: bs - pad],
+                np.asarray(labels)[: bs - pad],
+                np.asarray(boxes)[: bs - pad],
                 np.arange(start, start + bs - pad),
-                sizes[: bs - pad],
                 self.label_to_cat_id,
                 score_threshold=score_threshold,
-                max_detections=max_detections,
             )
             for r in results:
                 idx = r["image_id"]

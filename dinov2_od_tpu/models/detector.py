@@ -47,6 +47,7 @@ def detector_apply(
     mesh=None,
     seq_axis: str | None = None,
     batch_axis: str | None = None,
+    tp_axis: str | None = None,
     pipe_axis: str | None = None,
     pipe_microbatches: int = 0,
     pipe_chunks: int = 1,
@@ -58,6 +59,12 @@ def detector_apply(
       mesh / seq_axis: context parallelism — forwarded to the backbone's
         ring attention when attn_impl='ring' (the decoder's 50-query
         attention never needs sequence sharding).
+      mesh / tp_axis: tensor parallelism — backbone attention runs inside
+        a shard_map over head shards (ops/attention.py tp_axis) so the
+        Pallas kernel is never all-gathered over the model axis. The
+        decoder stays on the XLA path: its einsum attention partitions
+        correctly under the Megatron specs, and its tiny sequences
+        (<=50 queries) never dispatch to Pallas.
       mesh / pipe_axis / pipe_microbatches: pipeline parallelism — the
         backbone depth streams over the axis (parallel/pipeline.py).
 
@@ -73,6 +80,7 @@ def detector_apply(
         mesh=mesh,
         seq_axis=seq_axis,
         batch_axis=batch_axis,
+        tp_axis=tp_axis,
         pipe_axis=pipe_axis,
         pipe_microbatches=pipe_microbatches,
         pipe_chunks=pipe_chunks,

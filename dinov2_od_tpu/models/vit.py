@@ -105,7 +105,7 @@ def _eff_kernel(p: Params, alpha: float, dtype, mode: str):
 def _attention(
     x: jnp.ndarray, bp: Params, cfg: BackboneConfig, attn_impl: str,
     mesh=None, seq_axis=None, valid_len=None, lora_active=True,
-    batch_axis=None,
+    batch_axis=None, tp_axis=None,
 ):
     b, n, d = x.shape
     h = cfg.num_heads
@@ -125,7 +125,7 @@ def _attention(
         v = v.reshape(b, n, h, dh)
         out = multi_head_attention(
             q, k, v, impl=attn_impl, mesh=mesh, seq_axis=seq_axis,
-            batch_axis=batch_axis, kv_valid_len=valid_len,
+            batch_axis=batch_axis, tp_axis=tp_axis, kv_valid_len=valid_len,
         ).reshape(b, n, d)
         return _maybe_lora(out, bp["proj"], cfg, lora_active)
 
@@ -162,7 +162,7 @@ def _attention(
     v = v.reshape(b, n, h, dh)
     out = multi_head_attention(
         q, k, v, impl=attn_impl, mesh=mesh, seq_axis=seq_axis,
-        batch_axis=batch_axis, kv_valid_len=valid_len,
+        batch_axis=batch_axis, tp_axis=tp_axis, kv_valid_len=valid_len,
     ).reshape(b, n, d)
     return _maybe_lora(out, bp["proj"], cfg, lora_active)
 
@@ -193,12 +193,12 @@ def _ffn(x: jnp.ndarray, bp: Params, cfg: BackboneConfig, lora_active=True):
 def _block_apply(
     x: jnp.ndarray, bp: Params, cfg: BackboneConfig, attn_impl: str,
     mesh=None, seq_axis=None, valid_len=None, lora_active=True,
-    batch_axis=None,
+    batch_axis=None, tp_axis=None,
 ):
     """Pre-norm ViT block with LayerScale (HF Dinov2Layer semantics)."""
     x = x + bp["ls1"].astype(x.dtype) * _attention(
         layer_norm(x, bp["ln1"]), bp, cfg, attn_impl, mesh, seq_axis,
-        valid_len, lora_active, batch_axis,
+        valid_len, lora_active, batch_axis, tp_axis,
     )
     x = x + bp["ls2"].astype(x.dtype) * _ffn(
         layer_norm(x, bp["ln2"]), bp, cfg, lora_active
@@ -235,6 +235,7 @@ def backbone_apply(
     mesh=None,
     seq_axis: str | None = None,
     batch_axis: str | None = None,
+    tp_axis: str | None = None,
     pipe_axis: str | None = None,
     pipe_microbatches: int = 0,
     pipe_chunks: int = 1,
@@ -283,7 +284,9 @@ def backbone_apply(
     seq = x.shape[1]
     from ..ops.attention import seq_pad_multiple
 
-    mult = 1 if mesh is not None else seq_pad_multiple(
+    # Under ring/pipeline parallelism the shard_map handles its own
+    # padding; single-device and TP keep the once-at-embedding pad.
+    mult = 1 if (mesh is not None and tp_axis is None) else seq_pad_multiple(
         seq, cfg.hidden_dim // cfg.num_heads, attn_impl
     )
     s_pad = ((seq + mult - 1) // mult) * mult
@@ -295,7 +298,7 @@ def backbone_apply(
         fn = lambda carry, bp: (
             _block_apply(
                 carry, bp, cfg, attn_impl, mesh, seq_axis, valid_len,
-                lora_active, batch_axis,
+                lora_active, batch_axis, tp_axis,
             ),
             None,
         )

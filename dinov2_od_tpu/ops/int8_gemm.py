@@ -65,9 +65,24 @@ def _pick_block(dim: int, target: int, multiple: int) -> int:
     return best
 
 
+# Trace-time switch: the fused pallas_call is opaque to the SPMD
+# partitioner, so under tensor parallelism it would force an all-gather
+# of the K-sharded fc2 weight/activation on every call. make_eval_step /
+# the CLI flip this off before tracing a TP program; the unfused s8 dot
+# partitions exactly (see parallel/sharding.py row-parallel notes).
+_FUSED_ENABLED = True
+
+
+def set_fused_enabled(enabled: bool) -> None:
+    global _FUSED_ENABLED
+    _FUSED_ENABLED = bool(enabled)
+
+
 def int8_gemm_eligible(m: int, k: int, n: int) -> bool:
     """Shapes the fused kernel handles: lane-aligned K/N with a valid
     N block, and a whole-K slab that fits VMEM at some M block."""
+    if not _FUSED_ENABLED:
+        return False
     if k % 128 or n % 128:
         return False
     if _pick_block(n, 1024, 128) == 0:

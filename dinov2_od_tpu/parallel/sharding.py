@@ -103,19 +103,31 @@ def _pspec_for(path, leaf, model_axis: str) -> P:
             return spec_from_right((model_axis, None))
         return P()
     if parent in _COL_PARALLEL:
-        if name == "kernel":
+        if name in ("kernel", "kernel_q"):
             return spec_from_right((None, model_axis))
-        if name == "bias":
+        if name in ("bias", "w_scale"):
+            # int8 serving (models/quantize.py): w_scale is per-OUTPUT-
+            # channel, so it shards with the output dim exactly like bias.
             return spec_from_right((model_axis,))
         if name == "lora_B":  # [r, out]: shard the output dim
             return spec_from_right((None, model_axis))
         return P()  # lora_A replicated (rank is tiny)
     if parent in _ROW_PARALLEL:
-        if name == "kernel":
+        if name in ("kernel", "kernel_q"):
             return spec_from_right((model_axis, None))
         if name == "lora_A":  # [in, r]: shard the input dim
             return spec_from_right((model_axis, None))
-        return P()  # bias, lora_B replicated
+        # bias, lora_B, and int8 w_scale (per-output-channel — the output
+        # dim of a row-parallel linear is unsharded) replicate. The int8
+        # GEMM partitions cleanly: the per-token activation scale is a
+        # max over the sharded K dim (all-reduce-max — so the QUANTIZED
+        # values are shard-invariant), and partial dots reduce to within
+        # ~1 ULP (tests/test_tp_sharding.py pins a lone row-parallel
+        # int8_linear). Across the full network TP-vs-single outputs
+        # differ at the quantization-noise scale: ULP-level fp
+        # differences flip round() decisions in the dynamic per-token
+        # quantization.
+        return P()
     return P()
 
 

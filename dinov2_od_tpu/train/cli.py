@@ -216,6 +216,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "contiguous category ids, class 0 skipped)")
     p.add_argument("--no_normalize", action="store_true",
                    help="skip ImageNet normalization (reference behavior)")
+    p.add_argument("--keep_cls_token", action="store_true",
+                   help="keep the CLS token in the decoder memory, making "
+                        "the deformable grid 65/257 tokens with non-square "
+                        "factoring (reference behavior; the default drops "
+                        "it — SURVEY.md §7.5 fix)")
+    p.add_argument("--tie_decoder_layers", action="store_true",
+                   help="tie all decoder layers to one weight instance "
+                        "(reproduces the reference's accidental tying, "
+                        "deformable_attention.py:284)")
 
     # Logging (reference train.py:1448-1461)
     p.add_argument("--log_dir", type=str, default=None)
@@ -250,6 +259,16 @@ def build_detector_config(args) -> C.DetectorConfig:
         cfg = dataclasses.replace(
             cfg,
             backbone=dataclasses.replace(cfg.backbone, gelu_approximate=False),
+        )
+    if args.keep_cls_token:
+        cfg = dataclasses.replace(
+            cfg,
+            backbone=dataclasses.replace(cfg.backbone, drop_cls_token=False),
+        )
+    if args.tie_decoder_layers:
+        cfg = dataclasses.replace(
+            cfg,
+            decoder=dataclasses.replace(cfg.decoder, tie_layer_weights=True),
         )
     if args.aux_loss:
         cfg = dataclasses.replace(
@@ -304,7 +323,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         validate,
     )
     from .state import make_optimizer
-    from .step import make_eval_step
+    from .step import make_eval_topk_step
 
     os.makedirs(args.output_dir, exist_ok=True)
     logger = setup_logger(args.log_dir or args.output_dir)
@@ -442,19 +461,25 @@ def main(argv: Optional[List[str]] = None) -> int:
             # divisibility constraints only apply to tensor parallelism.
             check_tp_compatible(cfg.detector, args.model_parallel)
         if args.quantize == "int8":
-            if args.model_parallel > 1:
-                logger.error("--quantize int8 supports single-chip/DP "
-                             "meshes only (TP specs name fp kernels)")
-                return 1
             from ..models.detector import fold_detector_lora
             from ..models.quantize import quantize_detector_int8
 
+            if args.model_parallel > 1:
+                # TP + int8: param_shardings names kernel_q/w_scale
+                # leaves (Megatron col/row), and the fused Pallas
+                # quant-GEMM is disabled — opaque to the partitioner, it
+                # would all-gather the K-sharded fc2 (ops/int8_gemm.py).
+                from ..ops.int8_gemm import set_fused_enabled
+
+                set_fused_enabled(False)
             params = quantize_detector_int8(
                 fold_detector_lora(params, det_cfg), det_cfg
             )
             logger.info("serving with int8-quantized backbone (W8A8)")
         mesh = auto_mesh(args.batch_size, args.model_parallel, cfg=cfg.mesh)
-        eval_step = make_eval_step(cfg, mesh=mesh)
+        eval_step = make_eval_topk_step(
+            cfg, mesh=mesh, parity_mode=args.parity_mode
+        )
         params = shard_params(params, mesh, cfg=cfg.mesh)
         bsh = batch_sharding(mesh, cfg=cfg.mesh)
         if args.testdev_images:

@@ -73,6 +73,15 @@ def _cp_kwargs(cfg: TrainConfig, mesh):
             "pipe_microbatches": cfg.mesh.pipeline_microbatches,
             "pipe_chunks": cfg.mesh.pipeline_chunks,
         }
+    if cfg.mesh.model_axis in mesh.shape and mesh.shape[cfg.mesh.model_axis] > 1:
+        # Tensor parallelism: route backbone attention through the
+        # head-sharded shard_map (ops/attention.py tp_axis) so the Pallas
+        # kernel cannot be silently all-gathered by the SPMD partitioner.
+        return {
+            "mesh": mesh,
+            "tp_axis": cfg.mesh.model_axis,
+            "batch_axis": cfg.mesh.data_axis,
+        }
     return {}
 
 
@@ -180,6 +189,44 @@ def make_eval_step(cfg: TrainConfig, mesh=None):
         )
 
     return eval_step
+
+
+def make_eval_topk_step(
+    cfg: TrainConfig,
+    mesh=None,
+    max_detections: int = 100,
+    parity_mode: bool = False,
+):
+    """Eval step with the detection top-k fused in: params, images,
+    orig_sizes -> compact {scores [B,K], labels [B,K], boxes [B,K,4]}.
+
+    evaluate_dataset's hot path: one device dispatch per batch, and only
+    the top-k result crosses the device->host link (~30x less D2H than
+    [B, Q, C] logits; on this relay the legacy path additionally
+    re-uploaded the logits for the jitted top-k — three link crossings
+    per batch, measured 102 img/s end-to-end vs 2510 in-jit)."""
+    det_cfg = cfg.detector
+    cp = _cp_kwargs(cfg, mesh)
+    from ..evaluation.postprocess import select_topk_detections
+
+    @jax.jit
+    def eval_topk_step(
+        params, images: jnp.ndarray, orig_sizes: jnp.ndarray
+    ) -> Dict[str, jnp.ndarray]:
+        out = detector_apply(
+            params,
+            det_cfg,
+            prep_images(images, cfg.data.normalize),
+            deterministic=True,
+            **cp,
+        )
+        scores, labels, boxes = select_topk_detections(
+            out["pred_logits"], out["pred_boxes"], orig_sizes,
+            max_detections=max_detections, parity_mode=parity_mode,
+        )
+        return {"scores": scores, "labels": labels, "boxes": boxes}
+
+    return eval_topk_step
 
 
 def make_loss_eval_step(cfg: TrainConfig):

@@ -48,7 +48,7 @@ def main() -> int:
     from dinov2_od_tpu.data.coco import CocoDetectionDataset
     from dinov2_od_tpu.models import init_detector_params
     from dinov2_od_tpu.train.loop import evaluate_dataset, run_training
-    from dinov2_od_tpu.train.step import make_eval_step
+    from dinov2_od_tpu.train.step import make_eval_topk_step
 
     ds = CocoDetectionDataset(images_dir, ann_file, image_size=56, max_boxes=6)
     det = DetectorConfig(
@@ -83,7 +83,7 @@ def main() -> int:
     from dinov2_od_tpu.parallel import auto_mesh, batch_sharding
 
     mesh = auto_mesh(cfg.data.batch_size)
-    eval_step = make_eval_step(cfg, mesh=mesh)
+    eval_step = make_eval_topk_step(cfg, mesh=mesh)
     results = evaluate_dataset(
         eval_step, state.params, ds, cfg.data.batch_size, ds.label_to_cat_id,
         batch_sharding_=batch_sharding(mesh),

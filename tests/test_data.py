@@ -264,11 +264,14 @@ def test_device_prefetch_propagates_errors():
 
 
 def test_async_evaluate_dataset_matches_sync_reference(coco_fixture):
-    """The double-buffered evaluate_dataset must produce exactly the
-    results of a plain synchronous loop (order included) — the async
-    overlap is a pure scheduling change."""
+    """The double-buffered evaluate_dataset (fused device-side top-k,
+    compact readback) must produce exactly the results of a plain
+    synchronous loop through the legacy full-logits postprocess (order
+    included) — the async overlap and the top-k fusion are pure
+    scheduling/placement changes."""
     import jax.numpy as jnp
 
+    from dinov2_od_tpu.evaluation.postprocess import select_topk_detections
     from dinov2_od_tpu.train.loop import evaluate_dataset
 
     images_dir, ann_file = coco_fixture
@@ -288,8 +291,15 @@ def test_async_evaluate_dataset_matches_sync_reference(coco_fixture):
         )
         return {"pred_logits": logits, "pred_boxes": boxes}
 
+    def fake_topk_step(params, images, orig_sizes):
+        out = fake_eval_step(params, images)
+        scores, labels, boxes = select_topk_detections(
+            out["pred_logits"], out["pred_boxes"], orig_sizes
+        )
+        return {"scores": scores, "labels": labels, "boxes": boxes}
+
     got = evaluate_dataset(
-        fake_eval_step, None, ds, batch_size=4, label_to_cat_id=ds.label_to_cat_id
+        fake_topk_step, None, ds, batch_size=4, label_to_cat_id=ds.label_to_cat_id
     )
 
     # Plain synchronous reference.

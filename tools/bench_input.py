@@ -215,7 +215,7 @@ def bench_eval_from_disk(images_dir: str, ann: str, image_size: int, batch: int)
     from dinov2_od_tpu.models import detector_apply
     from dinov2_od_tpu.models.detector import fold_detector_lora
     from dinov2_od_tpu.train.loop import evaluate_dataset
-    from dinov2_od_tpu.train.step import make_eval_step
+    from dinov2_od_tpu.train.step import make_eval_topk_step
     from dinov2_od_tpu.utils.benchmark import time_fn
 
     cfg, det, params = _flagship(batch, image_size)
@@ -239,7 +239,7 @@ def bench_eval_from_disk(images_dir: str, ann: str, image_size: int, batch: int)
         images_dir, ann, image_size,
         output_dtype="uint8", decode_backend="auto",
     )
-    eval_step = make_eval_step(cfg)
+    eval_step = make_eval_topk_step(cfg)
     # Warm the compile outside the timed region.
     results = evaluate_dataset(
         eval_step, eval_params, ds, batch, ds.label_to_cat_id

@@ -26,6 +26,39 @@ import orbax.checkpoint as ocp
 
 logger = logging.getLogger("dinov2_od_tpu")
 
+# ---------------------------------------------------------------------------
+# Async save machinery. Orbax's AsyncCheckpointer snapshots arrays to host
+# memory synchronously, then serializes/writes in a background thread — the
+# training loop resumes stepping while the bytes hit disk. The reference
+# blocks its loop for the full torch.save (train.py:1279-1288); on a TPU
+# pod a blocking multi-GB save stalls every chip in the mesh.
+# ---------------------------------------------------------------------------
+
+_ASYNC_CKPTR: Optional["ocp.AsyncCheckpointer"] = None
+# metrics_history JSONs that must not be written until the async save
+# finalizes (orbax writes to a tmp dir and renames it into place).
+_PENDING_HISTORY: list = []
+
+
+def _async_checkpointer() -> "ocp.AsyncCheckpointer":
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_saves() -> None:
+    """Block until every outstanding async checkpoint write has finalized
+    (and flush their deferred metrics_history sidecars). Call before
+    reading a just-written checkpoint and at end of training; saves and
+    restores in this module call it themselves."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+    while _PENDING_HISTORY:
+        path, history = _PENDING_HISTORY.pop()
+        with open(os.path.join(path, "metrics_history.json"), "w") as f:
+            json.dump(history, f)
+
 
 def _flatten_with_paths(tree):
     flat, _ = jax.tree_util.tree_flatten_with_path(tree)
@@ -68,19 +101,31 @@ def save_checkpoint(
     loss: float,
     metrics_history: Optional[Dict[str, Any]] = None,
     name: Optional[str] = None,
+    async_save: bool = False,
 ) -> str:
     """Write one checkpoint under `directory` (reference naming:
-    checkpoint_epoch_{N}; train.py:1280)."""
+    checkpoint_epoch_{N}; train.py:1280).
+
+    async_save=True returns as soon as the arrays are snapshotted to host
+    memory; serialization and the directory rename happen in a background
+    thread (at most one save in flight — a new save waits out the
+    previous). The metrics_history sidecar is deferred to finalization
+    because orbax renames a tmp dir into `path`."""
     name = name or f"checkpoint_epoch_{epoch}"
     path = os.path.abspath(os.path.join(directory, name))
-    ckptr = ocp.PyTreeCheckpointer()
     payload = {
         "epoch": np.int64(epoch),
         "loss": np.float64(loss),
         "params": params,
         "opt_state": opt_state,
     }
-    ckptr.save(path, payload, force=True)
+    if async_save:
+        wait_for_saves()
+        _async_checkpointer().save(path, payload, force=True)
+        if metrics_history is not None:
+            _PENDING_HISTORY.append((path, metrics_history))
+        return path
+    ocp.PyTreeCheckpointer().save(path, payload, force=True)
     if metrics_history is not None:
         with open(os.path.join(path, "metrics_history.json"), "w") as f:
             json.dump(metrics_history, f)
@@ -105,6 +150,7 @@ def restore_checkpoint(
     Returns (params, opt_state, start_epoch, metrics_history). opt_state is
     the template (reset) if the saved optimizer state is incompatible.
     """
+    wait_for_saves()  # the path may be an async save still in flight
     path = os.path.abspath(path)
     raw = ocp.PyTreeCheckpointer().restore(path)
 

@@ -429,12 +429,15 @@ def run_training(
         if (epoch + 1) % checkpoint_every == 0 or epoch == num_epochs - 1:
             # Orbax saves are collective: every process participates
             # (each writes its addressable shards; process 0 the metadata).
+            # async_save: the loop keeps stepping while the write
+            # finalizes in a background thread.
             path = ckpt.save_checkpoint(
                 output_dir, epoch, state.params, state.opt_state,
-                epoch_loss, history if primary else None,
+                epoch_loss, history if primary else None, async_save=True,
             )
-            logger.info("checkpoint saved: %s", path)
+            logger.info("checkpoint save started: %s", path)
 
+    ckpt.wait_for_saves()
     ckpt.save_final_params(output_dir, state.params)
     if primary:
         plot_history(history, output_dir)

@@ -94,3 +94,35 @@ def test_final_params_and_latest(tmp_path):
     assert latest.endswith("checkpoint_epoch_19")
     p, _, start, _ = restore_checkpoint(latest, params, None)
     assert start == 20
+
+
+def test_async_save_roundtrip(tmp_path):
+    """async_save returns before finalization; wait_for_saves (called by
+    restore_checkpoint) must make the checkpoint durable, including the
+    deferred metrics_history sidecar. Back-to-back async saves serialize
+    (at most one in flight)."""
+    import os
+
+    from dinov2_od_tpu.train.checkpoint import wait_for_saves
+
+    cfg = _cfg()
+    params = init_detector_params(jax.random.key(1), cfg)
+    state = create_train_state(params, OptimConfig(), cfg)
+    hist = {"epochs": [0, 1], "train_loss": [2.0, 1.0]}
+    p1 = save_checkpoint(str(tmp_path), 0, state.params, state.opt_state,
+                         2.0, hist, async_save=True)
+    # Immediately queue a second save: must wait out the first, not race.
+    p2 = save_checkpoint(str(tmp_path), 1, state.params, state.opt_state,
+                         1.0, hist, async_save=True)
+    assert p1 != p2
+
+    p_restored, _, start_epoch, hist2 = restore_checkpoint(p2, params, None)
+    assert start_epoch == 2
+    assert hist2 == hist
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p_restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # The first save finalized too, with its sidecar in place.
+    wait_for_saves()
+    assert os.path.exists(os.path.join(p1, "metrics_history.json"))
+    assert latest_checkpoint(str(tmp_path)) == p2

@@ -147,10 +147,11 @@ def test_tp_train_step_with_mesh_matches_single_device():
         )
 
 
-def _compiled_tp_forward_text(cfg, mesh):
+def _compiled_tp_forward_text(cfg, mesh, params=None):
     """Compiled HLO of the TP eval step with fully-specified input
     shardings (what the CLI produces at serving time)."""
-    params = init_detector_params(jax.random.key(0), cfg.detector)
+    if params is None:
+        params = init_detector_params(jax.random.key(0), cfg.detector)
     eval_step = make_eval_step(cfg, mesh=mesh)
     pspecs = param_shardings(params, mesh)
     p_abs = jax.tree_util.tree_map(
@@ -162,9 +163,6 @@ def _compiled_tp_forward_text(cfg, mesh):
         jnp.float32, sharding=batch_sharding(mesh),
     )
     return eval_step.lower(p_abs, img).compile().as_text()
-
-
-_GATHER_RE = re.compile(r"all-gather[^=]*=?\s*\w*\[([0-9,]*)\]")
 
 
 def _max_allgather_elems(hlo_text: str) -> int:
@@ -202,6 +200,22 @@ def test_tp_forward_has_no_activation_sized_allgather():
     )
     # Sanity: the program is actually partitioned (Megatron forward needs
     # all-reduces after row-parallel proj/fc2).
+    assert "all-reduce" in text
+
+
+def test_int8_tp_forward_has_no_activation_sized_allgather():
+    """Same compiled-HLO guarantee for the int8 W8A8 serving path under
+    TP: quantized kernel_q/w_scale leaves carry Megatron specs, and the
+    partitioner must never fall back to gathering a sharded int8 weight
+    or an activation. (The fused quant-GEMM never triggers at these tiny
+    shapes; the CLI additionally disables it under TP.)"""
+    cfg = _tiny_cfg()
+    mesh = create_mesh(model_parallel_size=2)
+    params = _quantized(cfg, init_detector_params(jax.random.key(0), cfg.detector))
+    text = _compiled_tp_forward_text(cfg, mesh, params=params)
+    assert _max_allgather_elems(text) < 4096, (
+        "activation- or weight-sized all-gather in the int8 TP forward"
+    )
     assert "all-reduce" in text
 
 

@@ -136,26 +136,20 @@ class Predictor:
           Per image: list of {"bbox": xywh pixels, "score", "category_id",
           "label" (contiguous), "name" (if class names known)}.
         """
+        from collections import deque
+
         pixel, orig_sizes = self._prepare(images)
         n = len(pixel)
         bs = self.batch_size
         per_image: List[List[dict]] = [[] for _ in range(n)]
-        for start in range(0, n, bs):
-            chunk = pixel[start : start + bs]
-            sizes = orig_sizes[start : start + bs]
-            pad = bs - len(chunk)
-            if pad:
-                chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-                sizes = np.concatenate([sizes, np.ones((pad, 2), sizes.dtype)])
-            scores, labels, boxes = self._forward_topk(
-                self.params, jnp.asarray(chunk), jnp.asarray(sizes),
-                max_detections,
-            )
+
+        def _drain(entry):
+            (scores, labels, boxes), start, count = entry
             results = format_detections(
-                np.asarray(scores)[: bs - pad],
-                np.asarray(labels)[: bs - pad],
-                np.asarray(boxes)[: bs - pad],
-                np.arange(start, start + bs - pad),
+                np.asarray(scores)[:count],
+                np.asarray(labels)[:count],
+                np.asarray(boxes)[:count],
+                np.arange(start, start + count),
                 self.label_to_cat_id,
                 score_threshold=score_threshold,
             )
@@ -169,4 +163,26 @@ class Predictor:
                 if self.class_names:
                     det["name"] = self.class_names.get(r["category_id"], "")
                 per_image[idx].append(det)
+
+        # Double-buffered: chunk i+1 is dispatched before chunk i's
+        # (compact, top-k) results are read back, so device compute and
+        # the D2H link overlap across chunks — same scheduling shape as
+        # train/loop.py::evaluate_dataset.
+        pending: deque = deque()
+        for start in range(0, n, bs):
+            chunk = pixel[start : start + bs]
+            sizes = orig_sizes[start : start + bs]
+            pad = bs - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+                sizes = np.concatenate([sizes, np.ones((pad, 2), sizes.dtype)])
+            out = self._forward_topk(
+                self.params, jnp.asarray(chunk), jnp.asarray(sizes),
+                max_detections,
+            )
+            pending.append((out, start, bs - pad))
+            if len(pending) > 1:
+                _drain(pending.popleft())
+        while pending:
+            _drain(pending.popleft())
         return per_image

@@ -62,15 +62,23 @@ class Predictor:
         self.label_to_cat_id = label_to_cat_id or {}
         self.class_names = class_names or {}
         # One fused dispatch per batch: forward + device-side top-k
-        # selection, so only compact [B, K] results cross the link
-        # (jitted once per distinct max_detections).
+        # selection, so only ONE compact [B, K, 6] array (score, label,
+        # x, y, w, h) crosses the link — a single D2H round trip per
+        # chunk (jitted once per distinct max_detections).
         def _forward_topk(p, x, sizes, max_detections):
             out = detector_apply(p, cfg, x, deterministic=True)
             scores, labels, boxes = select_topk_detections(
                 out["pred_logits"], out["pred_boxes"], sizes,
                 max_detections=max_detections,
             )
-            return scores, labels, boxes
+            return jnp.concatenate(
+                [
+                    scores[..., None].astype(jnp.float32),
+                    labels[..., None].astype(jnp.float32),
+                    boxes.astype(jnp.float32),
+                ],
+                axis=-1,
+            )
 
         self._forward_topk = jax.jit(
             _forward_topk, static_argnames=("max_detections",)
@@ -144,11 +152,12 @@ class Predictor:
         per_image: List[List[dict]] = [[] for _ in range(n)]
 
         def _drain(entry):
-            (scores, labels, boxes), start, count = entry
+            out, start, count = entry
+            topk = np.asarray(out)[:count]  # one D2H round trip
             results = format_detections(
-                np.asarray(scores)[:count],
-                np.asarray(labels)[:count],
-                np.asarray(boxes)[:count],
+                topk[..., 0],
+                topk[..., 1].astype(np.int32),
+                topk[..., 2:],
                 np.arange(start, start + count),
                 self.label_to_cat_id,
                 score_threshold=score_threshold,

@@ -87,10 +87,11 @@ def evaluate_dataset(
     """Inference over a dataset -> COCO result dicts (+ optional JSON).
 
     `eval_topk_step` is a fused step from train.step.make_eval_topk_step:
-    (params, images, orig_sizes) -> compact top-k {scores, labels,
-    boxes}. The detection selection (sigmoid, top-k over (query, class),
-    box rescale) runs on device inside the same dispatch as the forward;
-    the host only filters by score and formats dicts.
+    (params, images, orig_sizes) -> {"topk": packed [B, K, 6]}. The
+    detection selection (sigmoid, top-k over (query, class), box
+    rescale) runs on device inside the same dispatch as the forward;
+    the host reads back ONE compact array and only filters by score and
+    formats dicts.
 
     Fully asynchronous: a prefetch thread decodes + transfers batch i+1
     while the device runs batch i, and the host readback of batch i-1's
@@ -135,27 +136,24 @@ def evaluate_dataset(
         batch["_n"] = n
         return batch
 
-    def _format(scores, labels, boxes, ids):
+    def _format(topk, ids):
+        # topk is the step's packed [*, K, 6] = (score, label, x, y, w, h).
         return format_detections(
-            scores, labels, boxes, ids, label_to_cat_id,
+            topk[..., 0], topk[..., 1].astype(np.int32), topk[..., 2:],
+            ids, label_to_cat_id,
             score_threshold=score_threshold, parity_mode=parity_mode,
         )
 
     def _readback(out, batch):
         if pc == 1:
             n = batch["_n"]
-            return _format(
-                np.asarray(out["scores"])[:n],
-                np.asarray(out["labels"])[:n],
-                np.asarray(out["boxes"])[:n],
-                batch["image_id"][:n],
-            )
+            # ONE np.asarray = one D2H round trip (the whole point of
+            # the packed layout on a high-RTT link).
+            return _format(np.asarray(out["topk"])[:n], batch["image_id"][:n])
         # Collective gathers — every process calls these in step order.
         from jax.experimental import multihost_utils as mhu
 
-        scores = np.asarray(mhu.process_allgather(out["scores"], tiled=True))
-        labels = np.asarray(mhu.process_allgather(out["labels"], tiled=True))
-        boxes = np.asarray(mhu.process_allgather(out["boxes"], tiled=True))
+        topk = np.asarray(mhu.process_allgather(out["topk"], tiled=True))
         ids = np.asarray(mhu.process_allgather(batch["image_id"]))
         ns = np.asarray(mhu.process_allgather(np.int64(batch["_n"])))
         res: List[dict] = []
@@ -163,7 +161,7 @@ def evaluate_dataset(
             n = int(ns[p])
             if n:
                 s = slice(p * local_bs, p * local_bs + n)
-                res.extend(_format(scores[s], labels[s], boxes[s], ids[p][:n]))
+                res.extend(_format(topk[s], ids[p][:n]))
         return res
 
     pending: deque = deque()

@@ -198,13 +198,16 @@ def make_eval_topk_step(
     parity_mode: bool = False,
 ):
     """Eval step with the detection top-k fused in: params, images,
-    orig_sizes -> compact {scores [B,K], labels [B,K], boxes [B,K,4]}.
+    orig_sizes -> {"topk": [B, K, 6]} packed as (score, label, x, y, w,
+    h) along the last dim (label exact in f32 — class ids < 2^24).
 
-    evaluate_dataset's hot path: one device dispatch per batch, and only
-    the top-k result crosses the device->host link (~30x less D2H than
-    [B, Q, C] logits; on this relay the legacy path additionally
-    re-uploaded the logits for the jitted top-k — three link crossings
-    per batch, measured 102 img/s end-to-end vs 2510 in-jit)."""
+    evaluate_dataset's hot path: one device dispatch per batch, and ONE
+    compact array crosses the device->host link (~30x less D2H than
+    [B, Q, C] logits). The packing matters on high-RTT links: each
+    np.asarray is its own round trip, so separate scores/labels/boxes
+    readbacks cost 3x the latency (measured on this ~30ms relay:
+    158 img/s end-to-end split vs 102 for the legacy re-upload loop;
+    packed, the readback is one crossing per batch)."""
     det_cfg = cfg.detector
     cp = _cp_kwargs(cfg, mesh)
     from ..evaluation.postprocess import select_topk_detections
@@ -224,7 +227,16 @@ def make_eval_topk_step(
             out["pred_logits"], out["pred_boxes"], orig_sizes,
             max_detections=max_detections, parity_mode=parity_mode,
         )
-        return {"scores": scores, "labels": labels, "boxes": boxes}
+        return {
+            "topk": jnp.concatenate(
+                [
+                    scores[..., None].astype(jnp.float32),
+                    labels[..., None].astype(jnp.float32),
+                    boxes.astype(jnp.float32),
+                ],
+                axis=-1,
+            )
+        }
 
     return eval_topk_step
 

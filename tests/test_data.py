@@ -296,7 +296,16 @@ def test_async_evaluate_dataset_matches_sync_reference(coco_fixture):
         scores, labels, boxes = select_topk_detections(
             out["pred_logits"], out["pred_boxes"], orig_sizes
         )
-        return {"scores": scores, "labels": labels, "boxes": boxes}
+        return {
+            "topk": jnp.concatenate(
+                [
+                    scores[..., None].astype(jnp.float32),
+                    labels[..., None].astype(jnp.float32),
+                    boxes.astype(jnp.float32),
+                ],
+                axis=-1,
+            )
+        }
 
     got = evaluate_dataset(
         fake_topk_step, None, ds, batch_size=4, label_to_cat_id=ds.label_to_cat_id

@@ -171,6 +171,13 @@ class MatcherConfig:
     # jv 35.5 vs auction 3.0 — 40 keeps jv only where it clearly wins.
     assignment: str = "auto"
     auction_threshold: int = 40
+    # Reproduce the reference's batch-0 matching bug for A/B studies:
+    # its flattened cost matrix is sliced C[:num_queries]
+    # (matching.py:63-64,102), so EVERY image in the batch is matched
+    # using image 0's predictions against its own GTs. Off (fixed) by
+    # default; --ref_match_bug enables it to quantify the bug's
+    # training-accuracy cost (see PARITY.md).
+    replicate_batch0_bug: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -189,6 +189,15 @@ def hungarian_match(
     """
     pred_logits = jax.lax.stop_gradient(pred_logits)
     pred_boxes = jax.lax.stop_gradient(pred_boxes)
+    if cfg.replicate_batch0_bug:
+        # Reference bug replication (matching.py:63-64,102): the cost
+        # matrix is built from the batch-flattened predictions and sliced
+        # C[:num_queries], i.e. image 0's rows, for every image b. The
+        # criterion then applies those indices to image b's real outputs.
+        # Equivalent formulation: match image-0 predictions against each
+        # image's own GTs.
+        pred_logits = jnp.broadcast_to(pred_logits[:1], pred_logits.shape)
+        pred_boxes = jnp.broadcast_to(pred_boxes[:1], pred_boxes.shape)
     query_of_gt, match_valid = jax.vmap(
         lambda a, b, c, d, e: _match_one_image(a, b, c, d, e, cfg)
     )(pred_logits, pred_boxes, gt_labels, gt_boxes, gt_valid)

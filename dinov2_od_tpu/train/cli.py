@@ -216,6 +216,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "contiguous category ids, class 0 skipped)")
     p.add_argument("--no_normalize", action="store_true",
                    help="skip ImageNet normalization (reference behavior)")
+    p.add_argument("--ref_match_bug", action="store_true",
+                   help="replicate the reference's batch-0 matching bug "
+                        "(every image matched with image 0's predictions; "
+                        "matching.py:102) for A/B accuracy studies")
     p.add_argument("--keep_cls_token", action="store_true",
                    help="keep the CLS token in the decoder memory, making "
                         "the deformable grid 65/257 tokens with non-square "
@@ -362,6 +366,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         cost_class=args.set_cost_class, cost_bbox=args.set_cost_bbox,
         cost_giou=args.set_cost_giou, focal_alpha=args.focal_alpha,
         focal_gamma=args.focal_gamma,
+        replicate_batch0_bug=args.ref_match_bug,
     )
     loss_cfg = C.LossConfig(
         focal_alpha=args.focal_alpha, focal_gamma=args.focal_gamma

@@ -162,3 +162,38 @@ def test_match_more_gt_than_queries(rng):
     ri, ci = linear_sum_assignment(oracle)
     ours_total = sum(oracle[q_of_gt[j], j] for j in range(g) if m_valid[j])
     np.testing.assert_allclose(ours_total, oracle[ri, ci].sum(), rtol=1e-4, atol=1e-4)
+
+
+def test_replicate_batch0_bug_matches_image0_predictions(rng):
+    """With replicate_batch0_bug, every image's assignment equals the one
+    computed from image 0's predictions against that image's own GTs —
+    the reference's C[:num_queries] slice semantics (matching.py:63-102)."""
+    cfg = MatcherConfig(replicate_batch0_bug=True)
+    b, q, g, c = 4, 12, 6, 7
+    logits = rng.normal(size=(b, q, c)).astype(np.float32)
+    boxes = rng.uniform(0.2, 0.6, size=(b, q, 4)).astype(np.float32)
+    labels = rng.integers(0, c, size=(b, g)).astype(np.int32)
+    tgt = rng.uniform(0.2, 0.6, size=(b, g, 4)).astype(np.float32)
+    valid = np.ones((b, g), bool)
+
+    res = hungarian_match(
+        jnp.asarray(logits), jnp.asarray(boxes), jnp.asarray(labels),
+        jnp.asarray(tgt), jnp.asarray(valid), cfg,
+    )
+    q_of_gt = np.asarray(res.query_of_gt)
+
+    for i in range(b):
+        # Oracle: image-0 predictions vs image-i targets.
+        oracle = reference_cost_np(logits[0], boxes[0], labels[i], tgt[i], cfg)
+        ri, ci = linear_sum_assignment(oracle)
+        scipy_total = oracle[ri, ci].sum()
+        ours_total = sum(oracle[q_of_gt[i, j], j] for j in range(g))
+        np.testing.assert_allclose(ours_total, scipy_total, rtol=1e-4, atol=1e-4)
+
+    # And with the flag OFF, image 1's match differs from the buggy one
+    # (predictions actually matter).
+    res_fixed = hungarian_match(
+        jnp.asarray(logits), jnp.asarray(boxes), jnp.asarray(labels),
+        jnp.asarray(tgt), jnp.asarray(valid), MatcherConfig(),
+    )
+    assert not np.array_equal(np.asarray(res_fixed.query_of_gt)[1], q_of_gt[1])

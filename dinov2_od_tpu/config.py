@@ -257,7 +257,16 @@ class MeshConfig:
 
     data_axis: str = "data"
     model_axis: str = "model"
+    context_axis: str = "context"
     model_parallel_size: int = 1
+    # Dedicated context-parallel axis size (> 0 enables the THREE-axis
+    # mesh ('data', 'context', 'model')): ring attention shards the
+    # backbone token dim over 'context' while Megatron TP shards
+    # heads/FFN over 'model' — the two compose (DP x CP x TP). Heads
+    # rotate with neither: the ring's ppermute runs per head shard.
+    # 0 = legacy mode, where `context_parallel` (below) repurposes the
+    # 2-axis mesh's model axis for tokens instead of tensor shards.
+    context_parallel_size: int = 0
     # Context (sequence) parallelism: backbone attention runs as ring
     # attention with the token dim sharded over the *model* axis
     # (ops/ring_attention.py), for inputs whose [S, S] attention exceeds
@@ -284,6 +293,17 @@ class MeshConfig:
             raise ValueError(
                 "context_parallel and pipeline_parallel both claim the "
                 "model axis — enable at most one"
+            )
+        if self.context_parallel_size > 0 and self.context_parallel:
+            raise ValueError(
+                "use either context_parallel (legacy: ring over the model "
+                "axis) or context_parallel_size (dedicated context axis, "
+                "composable with TP) — not both"
+            )
+        if self.context_parallel_size > 0 and self.pipeline_parallel:
+            raise ValueError(
+                "context_parallel_size and pipeline_parallel cannot be "
+                "combined (the pipeline claims the model axis for stages)"
             )
 
 

@@ -76,37 +76,16 @@ def multi_head_attention(
         #3). The XLA einsum path partitions correctly either way; it is
         wrapped too so the sharding is guaranteed by construction, not
         by partitioner inference. Requires H divisible by the axis size
-        (parallel.sharding.check_tp_compatible).
+        (parallel.sharding.check_tp_compatible). Composes with
+        impl='ring' (CP x TP on a three-axis mesh): the ring then runs
+        on head-local shapes with `tp_axis` as ring_attention's
+        head_axis.
 
     Returns:
       [B, Sq, H, Dh]
     """
     scale = 1.0 / (q.shape[-1] ** 0.5)
     use_dropout = dropout_rate > 0.0 and dropout_rng is not None
-    if tp_axis is not None and mesh is not None and not use_dropout:
-        if impl == "ring":
-            raise ValueError("tp_axis and impl='ring' are mutually exclusive")
-        try:
-            from jax import shard_map
-        except ImportError:  # older jax
-            from jax.experimental.shard_map import shard_map
-        from jax.sharding import PartitionSpec as P
-
-        spec = P(batch_axis, None, tp_axis, None)
-
-        def _local(q, k, v):
-            local_impl = impl
-            if local_impl == "auto":
-                local_impl = "pallas" if _pallas_eligible(q, k) else "xla"
-            if local_impl == "pallas":
-                from .flash_attention import flash_attention
-
-                return flash_attention(q, k, v, scale=scale, kv_len=kv_valid_len)
-            return _xla_attention(q, k, v, scale, kv_valid_len=kv_valid_len)
-
-        return shard_map(
-            _local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        )(q, k, v)
     if impl == "ring":
         if mesh is None or seq_axis is None:
             raise ValueError("impl='ring' requires mesh and seq_axis")
@@ -132,9 +111,32 @@ def multi_head_attention(
             q, k, v = (jnp.pad(x, padw) for x in (q, k, v))
         out = ring_attention(
             q, k, v, scale=scale, mesh=mesh, axis=seq_axis,
-            batch_axis=batch_axis, valid_len=s if pad else None,
+            batch_axis=batch_axis, head_axis=tp_axis,
+            valid_len=s if pad else None,
         )
         return out[:, :s] if pad else out
+    if tp_axis is not None and mesh is not None and not use_dropout:
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(batch_axis, None, tp_axis, None)
+
+        def _local(q, k, v):
+            local_impl = impl
+            if local_impl == "auto":
+                local_impl = "pallas" if _pallas_eligible(q, k) else "xla"
+            if local_impl == "pallas":
+                from .flash_attention import flash_attention
+
+                return flash_attention(q, k, v, scale=scale, kv_len=kv_valid_len)
+            return _xla_attention(q, k, v, scale, kv_valid_len=kv_valid_len)
+
+        return shard_map(
+            _local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        )(q, k, v)
     if impl == "auto":
         impl = "pallas" if (_pallas_eligible(q, k) and not use_dropout) else "xla"
     if impl == "pallas":

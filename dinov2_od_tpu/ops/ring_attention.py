@@ -72,6 +72,7 @@ def ring_attention(
     mesh: Mesh,
     axis: str = "data",
     batch_axis: str | None = None,
+    head_axis: str | None = None,
     valid_len: int | None = None,
     block_size: int | None = None,
     impl: str = "auto",
@@ -88,6 +89,11 @@ def ring_attention(
         the data axis and every device would compute ring attention for
         the full global batch — dp-times redundant compute plus
         resharding collectives per call.
+      head_axis: mesh axis the HEAD dim is sharded over (CP x TP
+        composition on a three-axis mesh). Attention is per-head, so the
+        ring runs unchanged on head-local shapes: the ppermute rotates
+        K/V within each head shard's ring, and no collective ever
+        crosses the head axis.
       valid_len: if set, keys at global positions >= valid_len are
         masked out (finite -1e30 logits, so a fully-masked first ring
         block cannot NaN the running softmax — bogus contributions are
@@ -332,7 +338,7 @@ def ring_attention(
         out = o / jnp.transpose(l, (0, 2, 1))[..., None]
         return out.astype(q_loc.dtype)
 
-    spec = P(batch_axis, axis, None, None)
+    spec = P(batch_axis, axis, head_axis, None)
     return shard_map(
         local_flash if impl == "flash" else local,
         mesh=mesh,

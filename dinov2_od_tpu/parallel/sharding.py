@@ -32,9 +32,22 @@ def create_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     cfg: MeshConfig = MeshConfig(),
 ) -> Mesh:
-    """Build a ('data', 'model') mesh over the available devices."""
+    """Build a ('data', 'model') mesh over the available devices — or,
+    when cfg.context_parallel_size > 0, a three-axis
+    ('data', 'context', 'model') mesh so ring attention (tokens over
+    'context') composes with Megatron TP (heads/FFN over 'model')."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    cp = cfg.context_parallel_size
+    if cp > 0:
+        inner = cp * model_parallel_size
+        if n % inner != 0:
+            raise ValueError(
+                f"{n} devices not divisible by context_parallel_size={cp}"
+                f" x model_parallel_size={model_parallel_size}"
+            )
+        grid = np.asarray(devices).reshape(n // inner, cp, model_parallel_size)
+        return Mesh(grid, (cfg.data_axis, cfg.context_axis, cfg.model_axis))
     if n % model_parallel_size != 0:
         raise ValueError(
             f"{n} devices not divisible by model_parallel_size={model_parallel_size}"
@@ -51,10 +64,12 @@ def auto_mesh(
     """Mesh whose data axis is the largest batch divisor that fits the
     available devices (a 4-image debug batch on an 8-device host gets a
     4-way data axis rather than a shape error)."""
-    avail = len(jax.devices()) // model_parallel_size
+    inner = model_parallel_size * max(cfg.context_parallel_size, 1)
+    avail = len(jax.devices()) // inner
     if avail < 1:
         raise ValueError(
-            f"model_parallel_size={model_parallel_size} exceeds "
+            f"model_parallel_size={model_parallel_size} x "
+            f"context_parallel_size={cfg.context_parallel_size} exceeds "
             f"{len(jax.devices())} devices"
         )
     dp = 1
@@ -62,7 +77,7 @@ def auto_mesh(
         if batch_size % d == 0:
             dp = d
             break
-    devices = jax.devices()[: dp * model_parallel_size]
+    devices = jax.devices()[: dp * inner]
     return create_mesh(model_parallel_size, devices=devices, cfg=cfg)
 
 

@@ -96,6 +96,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "attention runs as ring attention with tokens "
                         "sharded over the model axis (requires "
                         "--model_parallel > 1; exclusive with TP/PP)")
+    p.add_argument("--context_parallel_size", type=int, default=0,
+                   help="dedicated context-axis size (three-axis mesh "
+                        "data x context x model): ring attention over "
+                        "the context axis COMPOSED with tensor "
+                        "parallelism of --model_parallel over the model "
+                        "axis (exclusive with --context_parallel/"
+                        "--pipeline_parallel)")
     p.add_argument("--pipeline_parallel", action="store_true",
                    help="pipeline parallelism: backbone depth splits into "
                         "--model_parallel GPipe stages (exclusive with "
@@ -299,6 +306,17 @@ def main(argv: Optional[List[str]] = None) -> int:
             "--context_parallel and --pipeline_parallel both claim the "
             "model axis; enable at most one"
         )
+    if args.context_parallel_size > 0 and args.context_parallel:
+        parser.error(
+            "--context_parallel_size (dedicated context axis) and "
+            "--context_parallel (legacy: ring over the model axis) are "
+            "exclusive; use one"
+        )
+    if args.context_parallel_size > 0 and args.pipeline_parallel:
+        parser.error(
+            "--context_parallel_size cannot be combined with "
+            "--pipeline_parallel"
+        )
 
     import jax  # deferred so --help stays fast
 
@@ -382,6 +400,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     mesh_cfg = C.MeshConfig(
         model_parallel_size=args.model_parallel,
         context_parallel=args.context_parallel,
+        context_parallel_size=args.context_parallel_size,
         pipeline_parallel=args.pipeline_parallel,
         pipeline_microbatches=args.pipeline_microbatches,
         pipeline_chunks=args.pipeline_chunks,

@@ -56,6 +56,20 @@ def _cp_kwargs(cfg: TrainConfig, mesh):
     the model axis, when enabled in cfg.mesh; {} otherwise."""
     if mesh is None:
         return {}
+    if cfg.mesh.context_parallel_size > 0:
+        # Three-axis mesh: ring attention over the dedicated context
+        # axis, composed with Megatron TP over the model axis when its
+        # size > 1 (the ring runs per head shard; see
+        # ops/ring_attention.py head_axis).
+        kw = {
+            "attn_impl": "ring",
+            "mesh": mesh,
+            "seq_axis": cfg.mesh.context_axis,
+            "batch_axis": cfg.mesh.data_axis,
+        }
+        if dict(mesh.shape).get(cfg.mesh.model_axis, 1) > 1:
+            kw["tp_axis"] = cfg.mesh.model_axis
+        return kw
     if cfg.mesh.context_parallel:
         return {
             "attn_impl": "ring",

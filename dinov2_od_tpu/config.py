@@ -258,6 +258,7 @@ class MeshConfig:
     data_axis: str = "data"
     model_axis: str = "model"
     context_axis: str = "context"
+    stage_axis: str = "stage"
     model_parallel_size: int = 1
     # Dedicated context-parallel axis size (> 0 enables the THREE-axis
     # mesh ('data', 'context', 'model')): ring attention shards the
@@ -267,6 +268,16 @@ class MeshConfig:
     # 0 = legacy mode, where `context_parallel` (below) repurposes the
     # 2-axis mesh's model axis for tokens instead of tensor shards.
     context_parallel_size: int = 0
+    # Dedicated pipeline-stage axis size (> 0 enables the THREE-axis
+    # mesh ('data', 'stage', 'model')): the backbone depth streams over
+    # 'stage' while heads/FFN keep Megatron TP specs over 'model'
+    # (PP x TP). The pipeline's shard_map goes manual over
+    # (data, stage) only; 'model' stays an AUTO axis, so the per-stage
+    # GEMMs auto-partition and attention runs a NESTED shard_map over
+    # the head shards (parallel/pipeline.py auto_axes).
+    # 0 = legacy mode, where `pipeline_parallel` (below) repurposes the
+    # 2-axis mesh's model axis for stages.
+    pipeline_parallel_size: int = 0
     # Context (sequence) parallelism: backbone attention runs as ring
     # attention with the token dim sharded over the *model* axis
     # (ops/ring_attention.py), for inputs whose [S, S] attention exceeds
@@ -304,6 +315,16 @@ class MeshConfig:
             raise ValueError(
                 "context_parallel_size and pipeline_parallel cannot be "
                 "combined (the pipeline claims the model axis for stages)"
+            )
+        if self.pipeline_parallel_size > 0 and (
+            self.pipeline_parallel
+            or self.context_parallel
+            or self.context_parallel_size > 0
+        ):
+            raise ValueError(
+                "pipeline_parallel_size (dedicated stage axis) is "
+                "exclusive with pipeline_parallel, context_parallel, and "
+                "context_parallel_size"
             )
 
 

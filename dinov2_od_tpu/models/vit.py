@@ -294,11 +294,11 @@ def backbone_apply(
     if s_pad != seq:
         x = jnp.pad(x, ((0, 0), (0, s_pad - seq), (0, 0)))
 
-    def make_block_fn(lora_active):
+    def make_block_fn(lora_active, mesh_=mesh, batch_axis_=batch_axis):
         fn = lambda carry, bp: (
             _block_apply(
-                carry, bp, cfg, attn_impl, mesh, seq_axis, valid_len,
-                lora_active, batch_axis, tp_axis,
+                carry, bp, cfg, attn_impl, mesh_, seq_axis, valid_len,
+                lora_active, batch_axis_, tp_axis,
             ),
             None,
         )
@@ -345,9 +345,20 @@ def backbone_apply(
                 ),
                 blocks,
             )
+        pipe_block_fn = block_fn
+        auto_axes = ()
+        if tp_axis is not None:
+            # PP x TP: the pipeline's shard_map goes manual over
+            # (data, stage) and leaves the TP axis AUTO. Inside that
+            # region the attention shard_map must bind the CONTEXT mesh
+            # (mesh=None) and the batch is already manual-local
+            # (batch_axis=None) — its in_specs may only name the auto
+            # 'model' axis.
+            pipe_block_fn = make_block_fn(True, mesh_=None, batch_axis_=None)
+            auto_axes = (tp_axis,)
         x = pipeline_blocks(
-            x, blocks, block_fn, mesh, pipe_axis, pipe_microbatches,
-            num_chunks=pipe_chunks,
+            x, blocks, pipe_block_fn, mesh, pipe_axis, pipe_microbatches,
+            num_chunks=pipe_chunks, auto_axes=auto_axes,
         )
     elif 0 < k < cfg.depth:
         # The prefix also skips the LoRA compute entirely: non-adapted

@@ -115,7 +115,12 @@ def multi_head_attention(
             valid_len=s if pad else None,
         )
         return out[:, :s] if pad else out
-    if tp_axis is not None and mesh is not None and not use_dropout:
+    if tp_axis is not None and not use_dropout:
+        # mesh may be None INSIDE a manual shard_map region (PP x TP:
+        # the pipeline is manual over (data, stage) with 'model' auto);
+        # shard_map then binds the CONTEXT mesh — passing the concrete
+        # mesh there is rejected by jax. batch_axis must also be None
+        # in that case (batch is already manual-local).
         try:
             from jax import shard_map
         except ImportError:  # older jax

@@ -70,6 +70,7 @@ def pipeline_blocks(
     num_microbatches: int = 0,
     skip_bubbles: bool = False,
     num_chunks: int = 1,
+    auto_axes: tuple = (),
 ) -> jnp.ndarray:
     """Run a depth-stacked block sequence as a pipeline over `axis`.
 
@@ -89,6 +90,12 @@ def pipeline_blocks(
         overhead exceeds the saving).
       num_chunks: chunks per device (v). 1 = GPipe; >1 = interleaved
         schedule with a v-times smaller bubble.
+      auto_axes: mesh axes to leave AUTO (not manual) in the pipeline's
+        shard_map — the PP x TP composition: pass the tensor-parallel
+        axis here and the per-stage compute auto-partitions over it
+        (GEMMs via the SPMD partitioner; attention via its own NESTED
+        shard_map bound to the context mesh). Batch stays sharded over
+        the remaining manual non-stage axes.
 
     Returns:
       [B, ...] output activations (replicated).
@@ -109,9 +116,13 @@ def pipeline_blocks(
             f"interleaved schedule needs microbatches ({m}) divisible by "
             f"stages ({n_stages})"
         )
-    # The batch stays sharded over the other mesh axes (DP composes with
-    # PP); microbatching applies to the per-data-shard batch.
-    other_axes = tuple(a for a in mesh.axis_names if a != axis)
+    # The batch stays sharded over the other MANUAL mesh axes (DP
+    # composes with PP); microbatching applies to the per-data-shard
+    # batch. Auto axes (PP x TP) carry tensor shards, not batch.
+    manual = tuple(a for a in mesh.axis_names if a not in auto_axes)
+    if axis in auto_axes:
+        raise ValueError(f"pipeline axis {axis!r} cannot be in auto_axes")
+    other_axes = tuple(a for a in manual if a != axis)
     dp = 1
     for a in other_axes:
         dp *= mesh.shape[a]
@@ -210,10 +221,14 @@ def pipeline_blocks(
         outputs = jax.lax.psum(outputs, axis)
         return outputs.reshape((b_loc,) + x_full.shape[1:])
 
+    kwargs = {}
+    if auto_axes:
+        kwargs["axis_names"] = set(manual)
     return shard_map(
         local,
         mesh=mesh,
         in_specs=(batch_spec, param_specs),
         out_specs=batch_spec,
         check_vma=False,
+        **kwargs,
     )(x, stacked_params)

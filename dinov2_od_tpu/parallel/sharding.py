@@ -39,15 +39,17 @@ def create_mesh(
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     cp = cfg.context_parallel_size
-    if cp > 0:
-        inner = cp * model_parallel_size
+    pp = cfg.pipeline_parallel_size
+    if cp > 0 or pp > 0:
+        mid, mid_axis = (cp, cfg.context_axis) if cp > 0 else (pp, cfg.stage_axis)
+        inner = mid * model_parallel_size
         if n % inner != 0:
             raise ValueError(
-                f"{n} devices not divisible by context_parallel_size={cp}"
+                f"{n} devices not divisible by {mid_axis} size {mid}"
                 f" x model_parallel_size={model_parallel_size}"
             )
-        grid = np.asarray(devices).reshape(n // inner, cp, model_parallel_size)
-        return Mesh(grid, (cfg.data_axis, cfg.context_axis, cfg.model_axis))
+        grid = np.asarray(devices).reshape(n // inner, mid, model_parallel_size)
+        return Mesh(grid, (cfg.data_axis, mid_axis, cfg.model_axis))
     if n % model_parallel_size != 0:
         raise ValueError(
             f"{n} devices not divisible by model_parallel_size={model_parallel_size}"
@@ -64,12 +66,17 @@ def auto_mesh(
     """Mesh whose data axis is the largest batch divisor that fits the
     available devices (a 4-image debug batch on an 8-device host gets a
     4-way data axis rather than a shape error)."""
-    inner = model_parallel_size * max(cfg.context_parallel_size, 1)
+    inner = (
+        model_parallel_size
+        * max(cfg.context_parallel_size, 1)
+        * max(cfg.pipeline_parallel_size, 1)
+    )
     avail = len(jax.devices()) // inner
     if avail < 1:
         raise ValueError(
             f"model_parallel_size={model_parallel_size} x "
-            f"context_parallel_size={cfg.context_parallel_size} exceeds "
+            f"context_parallel_size={cfg.context_parallel_size} x "
+            f"pipeline_parallel_size={cfg.pipeline_parallel_size} exceeds "
             f"{len(jax.devices())} devices"
         )
     dp = 1

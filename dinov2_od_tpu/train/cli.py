@@ -103,6 +103,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "parallelism of --model_parallel over the model "
                         "axis (exclusive with --context_parallel/"
                         "--pipeline_parallel)")
+    p.add_argument("--pipeline_parallel_size", type=int, default=0,
+                   help="dedicated stage-axis size (three-axis mesh "
+                        "data x stage x model): backbone pipeline over "
+                        "the stage axis COMPOSED with tensor parallelism "
+                        "of --model_parallel over the model axis "
+                        "(exclusive with --pipeline_parallel/"
+                        "--context_parallel*)")
     p.add_argument("--pipeline_parallel", action="store_true",
                    help="pipeline parallelism: backbone depth splits into "
                         "--model_parallel GPipe stages (exclusive with "
@@ -317,6 +324,16 @@ def main(argv: Optional[List[str]] = None) -> int:
             "--context_parallel_size cannot be combined with "
             "--pipeline_parallel"
         )
+    if args.pipeline_parallel_size > 0 and (
+        args.pipeline_parallel
+        or args.context_parallel
+        or args.context_parallel_size > 0
+    ):
+        parser.error(
+            "--pipeline_parallel_size (dedicated stage axis) is exclusive "
+            "with --pipeline_parallel, --context_parallel, and "
+            "--context_parallel_size"
+        )
 
     import jax  # deferred so --help stays fast
 
@@ -402,6 +419,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         context_parallel=args.context_parallel,
         context_parallel_size=args.context_parallel_size,
         pipeline_parallel=args.pipeline_parallel,
+        pipeline_parallel_size=args.pipeline_parallel_size,
         pipeline_microbatches=args.pipeline_microbatches,
         pipeline_chunks=args.pipeline_chunks,
     )

@@ -70,6 +70,21 @@ def _cp_kwargs(cfg: TrainConfig, mesh):
         if dict(mesh.shape).get(cfg.mesh.model_axis, 1) > 1:
             kw["tp_axis"] = cfg.mesh.model_axis
         return kw
+    if cfg.mesh.pipeline_parallel_size > 0:
+        # Three-axis mesh: backbone depth staged over the dedicated
+        # stage axis, composed with Megatron TP over the model axis when
+        # its size > 1 (the pipeline's shard_map leaves 'model' auto;
+        # see parallel/pipeline.py auto_axes).
+        kw = {
+            "mesh": mesh,
+            "pipe_axis": cfg.mesh.stage_axis,
+            "pipe_microbatches": cfg.mesh.pipeline_microbatches,
+            "pipe_chunks": cfg.mesh.pipeline_chunks,
+        }
+        if dict(mesh.shape).get(cfg.mesh.model_axis, 1) > 1:
+            kw["tp_axis"] = cfg.mesh.model_axis
+            kw["batch_axis"] = cfg.mesh.data_axis
+        return kw
     if cfg.mesh.context_parallel:
         return {
             "attn_impl": "ring",

@@ -249,6 +249,19 @@ class OptimConfig:
     # The reference uses Adam with a weight_decay kwarg (train.py:1000-1004),
     # i.e. L2-regularized Adam, and no LR schedule.
     optimizer: str = "adam"
+    # LR schedule (beyond reference — train.py:1000-1004 has NO
+    # scheduler): 'constant' (reference parity, default), 'cosine'
+    # (warmup + cosine decay to min_lr_ratio * lr), or 'linear'
+    # (warmup + linear decay).
+    lr_schedule: str = "constant"
+    # Linear warmup from 0 over this many optimizer steps (applies to
+    # every schedule, including 'constant').
+    warmup_steps: int = 0
+    # Total optimizer steps for the decay schedules; 0 = filled in by
+    # the training loop (steps/epoch x epochs / accumulation).
+    total_steps: int = 0
+    # Decay floor as a fraction of the peak learning rate.
+    min_lr_ratio: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -134,6 +134,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "BENCH.md 'Batch-64'); for bigger effective "
                         "batches prefer --gradient_accumulation_steps "
                         "or more chips (DP)")
+    p.add_argument("--lr_schedule", type=str, default="constant",
+                   choices=["constant", "cosine", "linear"],
+                   help="LR schedule (beyond reference, which has none): "
+                        "cosine/linear decay to --min_lr_ratio x lr over "
+                        "the run, with optional --warmup_steps")
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help="linear LR warmup from 0 over this many optimizer "
+                        "steps (works with every --lr_schedule)")
+    p.add_argument("--min_lr_ratio", type=float, default=0.0,
+                   help="decay floor as a fraction of the peak lr")
     p.add_argument("--gradient_accumulation_steps", type=int, default=1,
                    help="accumulate gradients over N steps before each "
                         "optimizer update (optax MultiSteps): effective "
@@ -437,6 +447,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         ),
         optim=C.OptimConfig(
             gradient_accumulation_steps=args.gradient_accumulation_steps,
+            lr_schedule=args.lr_schedule,
+            warmup_steps=args.warmup_steps,
+            min_lr_ratio=args.min_lr_ratio,
         ),
         matcher=matcher_cfg,
         loss=loss_cfg,

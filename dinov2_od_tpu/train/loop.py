@@ -288,8 +288,26 @@ def run_training(
     params = shard_params(params, mesh, cfg=cfg.mesh)
     bsharding = batch_sharding(mesh, cfg=cfg.mesh)
 
-    tx = make_optimizer(cfg.optim, cfg.detector, params, learning_rate)
-    state = create_train_state(params, cfg.optim, cfg.detector, learning_rate)
+    optim_cfg = cfg.optim
+    if (
+        optim_cfg.lr_schedule != "constant" or optim_cfg.warmup_steps > 0
+    ) and optim_cfg.total_steps == 0:
+        # Fill in the decay horizon: optimizer updates over the run.
+        import dataclasses
+
+        spe = max(1, len(train_dataset) // cfg.data.batch_size)
+        total = max(
+            1,
+            spe * num_epochs
+            // max(1, optim_cfg.gradient_accumulation_steps),
+        )
+        optim_cfg = dataclasses.replace(optim_cfg, total_steps=total)
+        logger.info(
+            "lr schedule %s: warmup %d, total %d optimizer steps",
+            optim_cfg.lr_schedule, optim_cfg.warmup_steps, total,
+        )
+    tx = make_optimizer(optim_cfg, cfg.detector, params, learning_rate)
+    state = create_train_state(params, optim_cfg, cfg.detector, learning_rate)
     if restored_opt_state is not None:
         state = state._replace(opt_state=restored_opt_state)
     train_step = make_train_step(cfg, tx, mesh=mesh)

@@ -33,6 +33,37 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
+def lr_schedule_fn(optim_cfg: OptimConfig, lr: float):
+    """optax schedule for OptimConfig, or None for plain constant LR.
+
+    Beyond-reference capability (train.py:1000-1004 has no scheduler):
+    'cosine' / 'linear' decay to min_lr_ratio * lr over total_steps
+    optimizer updates, each with an optional linear warmup from 0 over
+    warmup_steps; 'constant' supports warmup too. total_steps == 0 is
+    filled in by the training loop from the dataset size."""
+    w = optim_cfg.warmup_steps
+    kind = optim_cfg.lr_schedule
+    if kind not in ("constant", "cosine", "linear"):
+        raise ValueError(f"unknown lr_schedule {kind!r}")
+    if kind == "constant" and w == 0:
+        return None
+    total = max(optim_cfg.total_steps, w + 1)
+    end = lr * optim_cfg.min_lr_ratio
+    if kind == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, lr, w, total, end_value=end
+        )
+    if kind == "linear":
+        main = optax.linear_schedule(lr, end, max(total - w, 1))
+    else:
+        main = optax.constant_schedule(lr)
+    if w == 0:
+        return main
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, lr, w), main], [w]
+    )
+
+
 def make_optimizer(
     optim_cfg: OptimConfig,
     detector_cfg: DetectorConfig,
@@ -41,13 +72,16 @@ def make_optimizer(
 ) -> optax.GradientTransformation:
     lr = learning_rate if learning_rate is not None else optim_cfg.learning_rate
     mask = trainable_mask(params, detector_cfg)
+    schedule = lr_schedule_fn(optim_cfg, lr)
 
     inner = optax.chain(
         optax.clip_by_global_norm(optim_cfg.gradient_clip_val),
         # torch-Adam L2: decay enters the gradient before moments.
         optax.add_decayed_weights(optim_cfg.weight_decay),
         optax.scale_by_adam(),
-        optax.scale(-lr),
+        optax.scale(-lr)
+        if schedule is None
+        else optax.scale_by_learning_rate(schedule),
     )
     tx = optax.masked(inner, mask)
     if optim_cfg.gradient_accumulation_steps > 1:

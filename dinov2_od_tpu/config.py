@@ -262,6 +262,11 @@ class OptimConfig:
     total_steps: int = 0
     # Decay floor as a fraction of the peak learning rate.
     min_lr_ratio: float = 0.0
+    # Exponential moving average of the TRAINABLE weights (beyond
+    # reference): 0 = off; typical 0.999. Evaluation/final save use the
+    # EMA-merged weights. Frozen leaves are not duplicated (the EMA tree
+    # stores scalar placeholders for them — they never move).
+    ema_decay: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

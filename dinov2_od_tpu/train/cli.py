@@ -144,6 +144,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "steps (works with every --lr_schedule)")
     p.add_argument("--min_lr_ratio", type=float, default=0.0,
                    help="decay floor as a fraction of the peak lr")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="EMA of trainable weights (0 = off; e.g. 0.999): "
+                        "validation and the final model use the EMA-"
+                        "merged weights")
     p.add_argument("--gradient_accumulation_steps", type=int, default=1,
                    help="accumulate gradients over N steps before each "
                         "optimizer update (optax MultiSteps): effective "
@@ -450,6 +454,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             lr_schedule=args.lr_schedule,
             warmup_steps=args.warmup_steps,
             min_lr_ratio=args.min_lr_ratio,
+            ema_decay=args.ema_decay,
         ),
         matcher=matcher_cfg,
         loss=loss_cfg,

@@ -306,6 +306,14 @@ def run_training(
             "lr schedule %s: warmup %d, total %d optimizer steps",
             optim_cfg.lr_schedule, optim_cfg.warmup_steps, total,
         )
+    from .state import lr_schedule_fn
+
+    lr_sched = lr_schedule_fn(
+        optim_cfg,
+        learning_rate
+        if learning_rate is not None
+        else optim_cfg.learning_rate,
+    )
     tx = make_optimizer(optim_cfg, cfg.detector, params, learning_rate)
     state = create_train_state(params, optim_cfg, cfg.detector, learning_rate)
     if restored_opt_state is not None:
@@ -384,12 +392,20 @@ def run_training(
                     float(metrics["loss_ce"]), float(metrics["loss_bbox"]),
                     float(metrics["loss_giou"]),
                 )
-                log_metrics(
-                    writer,
-                    {k: v for k, v in metrics.items() if k.startswith("loss") or k == "grad_norm"},
-                    global_step,
-                    prefix="train/",
-                )
+                scalars = {
+                    k: v
+                    for k, v in metrics.items()
+                    if k.startswith("loss") or k == "grad_norm"
+                }
+                if lr_sched is not None:
+                    # Schedule count = optimizer updates (accumulation-
+                    # aware); reference logs its constant lr too
+                    # (train.py:1140).
+                    upd = global_step // max(
+                        1, cfg.optim.gradient_accumulation_steps
+                    )
+                    scalars["lr"] = float(lr_sched(upd))
+                log_metrics(writer, scalars, global_step, prefix="train/")
                 if hasattr(batches, "set_postfix"):
                     # Live per-loss postfix (reference train.py:1161-1165).
                     batches.set_postfix(
@@ -430,8 +446,14 @@ def run_training(
         log_metrics(writer, {"epoch_loss": epoch_loss, "images_per_sec": images_per_sec}, epoch, prefix="epoch/")
 
         if val_dataset is not None and (epoch + 1) % val_frequency == 0:
+            eval_params = state.params
+            if state.ema is not None:
+                # Evaluate the EMA weights (what serving would use).
+                from .state import merge_ema
+
+                eval_params = merge_ema(state.params, state.ema, cfg.detector)
             metrics = validate(
-                eval_step, state.params, val_dataset, cfg.data.batch_size,
+                eval_step, eval_params, val_dataset, cfg.data.batch_size,
                 epoch, output_dir, parity_mode=parity_mode,
                 batch_sharding_=bsharding,
             )
@@ -454,7 +476,12 @@ def run_training(
             logger.info("checkpoint save started: %s", path)
 
     ckpt.wait_for_saves()
-    ckpt.save_final_params(output_dir, state.params)
+    final_params = state.params
+    if state.ema is not None:
+        from .state import merge_ema
+
+        final_params = merge_ema(state.params, state.ema, cfg.detector)
+    ckpt.save_final_params(output_dir, final_params)
     if primary:
         plot_history(history, output_dir)
     return state

@@ -31,6 +31,10 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
     params: Params
     opt_state: Any
+    # EMA of the trainable leaves (OptimConfig.ema_decay > 0), with
+    # scalar placeholders at frozen leaves so the big frozen backbone is
+    # never duplicated in HBM. None when EMA is off.
+    ema: Any = None
 
 
 def lr_schedule_fn(optim_cfg: OptimConfig, lr: float):
@@ -97,6 +101,43 @@ def mask_gradients(grads: Params, params: Params, detector_cfg: DetectorConfig) 
     return jax.tree_util.tree_map(lambda g, m: g * m, grads, mult)
 
 
+def init_ema(params: Params, detector_cfg: DetectorConfig) -> Params:
+    """EMA tree: trainable leaves copied, frozen leaves replaced by a
+    scalar placeholder (they never change, so EMA == live weight there
+    and duplicating e.g. a ViT-g backbone would waste HBM)."""
+    mask = trainable_mask(params, detector_cfg)
+    # COPY trainable leaves: the train step donates the whole state, and
+    # an EMA leaf aliasing its param leaf would be donated twice.
+    return jax.tree_util.tree_map(
+        lambda p, m: jnp.copy(p) if m else jnp.zeros((), p.dtype),
+        params,
+        mask,
+    )
+
+
+def merge_ema(params: Params, ema: Params, detector_cfg: DetectorConfig) -> Params:
+    """Full param tree with trainable leaves taken from the EMA."""
+    mask = trainable_mask(params, detector_cfg)
+    return jax.tree_util.tree_map(
+        lambda p, e, m: e if m else p, params, ema, mask
+    )
+
+
+def update_ema(
+    ema: Params, params: Params, detector_cfg: DetectorConfig, decay: float
+) -> Params:
+    """One EMA step on the trainable leaves (placeholders pass through)."""
+    mask = trainable_mask(params, detector_cfg)
+    return jax.tree_util.tree_map(
+        lambda e, p, m: (decay * e + (1.0 - decay) * p).astype(p.dtype)
+        if m
+        else e,
+        ema,
+        params,
+        mask,
+    )
+
+
 def create_train_state(
     params: Params,
     optim_cfg: OptimConfig,
@@ -108,6 +149,9 @@ def create_train_state(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
+        ema=init_ema(params, detector_cfg)
+        if optim_cfg.ema_decay > 0
+        else None,
     )
 
 

@@ -190,8 +190,13 @@ def make_train_step(
 
         metrics = {k: v for k, v in losses.items()}
         metrics["grad_norm"] = optax.global_norm(grads)
+        ema = state.ema
+        if cfg.optim.ema_decay > 0 and ema is not None:
+            from .state import update_ema
+
+            ema = update_ema(ema, params, det_cfg, cfg.optim.ema_decay)
         new_state = TrainState(
-            step=state.step + 1, params=params, opt_state=opt_state
+            step=state.step + 1, params=params, opt_state=opt_state, ema=ema
         )
         return new_state, metrics
 

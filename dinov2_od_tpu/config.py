@@ -85,7 +85,19 @@ class BackboneConfig:
     depth_override: Optional[int] = None
     num_heads_override: Optional[int] = None
     mlp_ratio_override: Optional[float] = None
+    # "mlp" | "swiglu" | "moe" (None = variant table). "moe" swaps every
+    # block's dense FFN for a mixture-of-experts FFN (ops/moe.py) —
+    # beyond-reference capability; experts shard over the mesh's model
+    # axis (expert parallelism, parallel/sharding.py "moe" rules).
     ffn_type_override: Optional[str] = None
+    # MoE knobs (active only when ffn_type == "moe").
+    moe_num_experts: int = 8
+    moe_top_k: int = 2
+    # Per-expert slot budget: capacity = ceil(top_k * tokens/expert * cf).
+    moe_capacity_factor: float = 1.25
+    # Weight of the router load-balance auxiliary loss (Switch/GShard
+    # E * sum_e f_e * P_e) added to the training objective.
+    moe_aux_weight: float = 0.01
 
     @property
     def hidden_dim(self) -> int:

@@ -85,13 +85,21 @@ def detector_apply(
         pipe_microbatches=pipe_microbatches,
         pipe_chunks=pipe_chunks,
     )
-    return decoder_apply(
+    moe_aux = None
+    if cfg.backbone.ffn_type == "moe":
+        features, moe_aux = features
+    out = decoder_apply(
         params["decoder"],
         cfg.decoder,
         features,
         rng=rng,
         deterministic=deterministic,
     )
+    if moe_aux is not None:
+        # Router load-balance loss (ops/moe.py); the train step adds
+        # backbone.moe_aux_weight * this to the objective.
+        out["moe_aux"] = moe_aux
+    return out
 
 
 def trainable_mask(params: Params, cfg: DetectorConfig) -> Params:
@@ -116,6 +124,13 @@ def trainable_mask(params: Params, cfg: DetectorConfig) -> Params:
                 return True
             if keys[-1] in ("lora_A", "lora_B"):
                 return True
+            # MoE router/expert weights follow the LoRA placement policy:
+            # they are new capacity (no pretrained MoE DINOv2 exists to
+            # freeze), trainable in the adapted last-N blocks — the
+            # per-block gating happens in lora_block_multiplier. For
+            # full MoE training set lora_last_n_blocks = depth.
+            if "moe" in keys:
+                return True
         return False
 
     return jax.tree_util.tree_map_with_path(mark, params)
@@ -134,7 +149,9 @@ def lora_block_multiplier(params: Params, cfg: DetectorConfig) -> Params:
 
     def mult(path, leaf):
         keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
-        if keys and keys[0] == "backbone" and keys[-1] in ("lora_A", "lora_B"):
+        if keys and keys[0] == "backbone" and (
+            keys[-1] in ("lora_A", "lora_B") or "moe" in keys
+        ):
             m = jnp.zeros((depth,) + (1,) * (leaf.ndim - 1), leaf.dtype)
             return m.at[first_adapted:].set(1.0)
         return jnp.ones((1,) * leaf.ndim, leaf.dtype)
@@ -164,6 +181,8 @@ def fold_detector_lora(params: Params, cfg: DetectorConfig) -> Params:
     blocks = {k: (dict(v) if isinstance(v, dict) else v)
               for k, v in backbone["blocks"].items()}
     for lin in ("q", "k", "v", "proj", "fc1", "fc2"):
+        if lin not in blocks:  # MoE blocks have no dense fc1/fc2
+            continue
         bp = dict(blocks[lin])
         if "lora_A" in bp:
             delta = jnp.einsum("lir,lro->lio", bp["lora_A"], bp["lora_B"])
@@ -195,6 +214,8 @@ def cast_frozen_weights(params: Params, cfg: DetectorConfig,
     blocks = {k: (dict(v) if isinstance(v, dict) else v)
               for k, v in backbone["blocks"].items()}
     for lin in ("q", "k", "v", "proj", "fc1", "fc2"):
+        if lin not in blocks:  # MoE blocks have no dense fc1/fc2; their
+            continue  # expert weights are trainable and stay fp32
         bp = dict(blocks[lin])
         bp["kernel"] = bp["kernel"].astype(dtype)
         bp["bias"] = bp["bias"].astype(dtype)

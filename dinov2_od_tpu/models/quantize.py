@@ -175,6 +175,8 @@ def quantize_backbone_int8(params: Params) -> Params:
         for k, v in params["blocks"].items()
     }
     for name in ("q", "k", "v", "proj", "fc1", "fc2"):
+        if name not in blocks:  # MoE blocks: experts stay fp (attention
+            continue  # still quantizes; ops/moe.py einsums are bf16/fp32)
         bp = blocks[name]
         if "lora_B" in bp:
             nonzero = jnp.any(bp["lora_B"] != 0)

@@ -54,7 +54,7 @@ def _init_block(rng: jax.Array, cfg: BackboneConfig) -> Params:
         p.update(lora_init(kl, i, o, r))
         return p
 
-    return {
+    block = {
         "ln1": layernorm_init(d),
         "q": adapted(keys[0], d, d),
         "k": adapted(keys[1], d, d),
@@ -62,10 +62,29 @@ def _init_block(rng: jax.Array, cfg: BackboneConfig) -> Params:
         "proj": adapted(keys[3], d, d),
         "ls1": jnp.full((d,), cfg.layerscale_init, jnp.float32),
         "ln2": layernorm_init(d),
-        "fc1": adapted(keys[4], d, fc1_out),
-        "fc2": adapted(keys[5], m, d),
         "ls2": jnp.full((d,), cfg.layerscale_init, jnp.float32),
     }
+    if cfg.ffn_type == "moe":
+        # MoE FFN (ops/moe.py — beyond reference): per-expert dense FFN
+        # weights stacked on a leading E axis (shards over the model
+        # axis for expert parallelism) + a replicated router. No LoRA on
+        # experts: there is no pretrained MoE DINOv2 to adapt — expert/
+        # router weights ARE the trainable capacity (see trainable_mask).
+        e = cfg.moe_num_experts
+        ks = jax.random.split(keys[4], 2 * e + 1)
+        fc1s = [torch_linear_init(ks[i], d, m) for i in range(e)]
+        fc2s = [torch_linear_init(ks[e + i], m, d) for i in range(e)]
+        block["moe"] = {
+            "router_kernel": trunc_normal_init(ks[-1], (d, e)),
+            "fc1_kernel": jnp.stack([p["kernel"] for p in fc1s]),
+            "fc1_bias": jnp.stack([p["bias"] for p in fc1s]),
+            "fc2_kernel": jnp.stack([p["kernel"] for p in fc2s]),
+            "fc2_bias": jnp.stack([p["bias"] for p in fc2s]),
+        }
+    else:
+        block["fc1"] = adapted(keys[4], d, fc1_out)
+        block["fc2"] = adapted(keys[5], m, d)
+    return block
 
 
 def init_backbone_params(rng: jax.Array, cfg: BackboneConfig) -> Params:
@@ -206,6 +225,35 @@ def _block_apply(
     return x
 
 
+def _block_apply_moe(
+    x: jnp.ndarray, bp: Params, cfg: BackboneConfig, attn_impl: str,
+    mesh=None, seq_axis=None, valid_len=None, lora_active=True,
+    batch_axis=None, tp_axis=None,
+):
+    """Pre-norm block with an MoE FFN (ops/moe.py). Returns (x, aux):
+    the router load-balance loss accumulates over depth in the scan
+    carry. Expert parallelism rides the model axis (ep = tp_axis)."""
+    from ..ops.moe import moe_ffn
+
+    x = x + bp["ls1"].astype(x.dtype) * _attention(
+        layer_norm(x, bp["ln1"]), bp, cfg, attn_impl, mesh, seq_axis,
+        valid_len, lora_active, batch_axis, tp_axis,
+    )
+    act = (lambda h: jax.nn.gelu(h, approximate=cfg.gelu_approximate))
+    ffn_out, aux = moe_ffn(
+        layer_norm(x, bp["ln2"]),
+        bp["moe"],
+        top_k=cfg.moe_top_k,
+        capacity_factor=cfg.moe_capacity_factor,
+        activation=act,
+        mesh=mesh,
+        ep_axis=tp_axis,
+        data_axis=batch_axis,
+    )
+    x = x + bp["ls2"].astype(x.dtype) * ffn_out
+    return x, aux
+
+
 def interpolate_pos_embed(
     pos_embed: jnp.ndarray, src_grid: int, dst_grid: int
 ) -> jnp.ndarray:
@@ -251,6 +299,10 @@ def backbone_apply(
       cfg.drop_cls_token). Final LayerNorm applied (HF last_hidden_state
       semantics, dinov2_backbone.py:61); optional projection to target_dim
       (dinov2_backbone.py:64-65).
+
+      When cfg.ffn_type == "moe", returns (features, moe_aux) instead:
+      the depth-mean router load-balance loss (scalar fp32) rides along
+      for the training objective (ops/moe.py).
     """
     dtype = jnp.dtype(cfg.dtype)
     x = pixel_values.astype(dtype)
@@ -310,6 +362,62 @@ def backbone_apply(
         unroll = min(cfg.scan_unroll, length) if cfg.scan_unroll > 0 else length
         x, _ = jax.lax.scan(fn, x, blocks, unroll=unroll)
         return x
+
+    if cfg.ffn_type == "moe":
+        # MoE depth scan: the carry additionally accumulates the router
+        # load-balance aux loss. The LoRA-boundary prefix split and its
+        # stop-gradient semantics match the dense path; pipeline
+        # parallelism is not supported with MoE (the pipeline block body
+        # has no aux channel) — EP composes with DP and TP instead.
+        if pipe_axis is not None:
+            raise ValueError(
+                "ffn_type='moe' is not supported under pipeline "
+                "parallelism; shard experts over the model axis (EP) "
+                "instead"
+            )
+        if cfg.prefix_int8:
+            raise ValueError("prefix_int8 is not supported with ffn_type='moe'")
+        k = max(0, cfg.depth - cfg.lora_last_n_blocks)
+
+        def make_moe_fn(lora_active):
+            def fn(carry, bp):
+                x, aux = carry
+                x, aux_b = _block_apply_moe(
+                    x, bp, cfg, attn_impl, mesh, seq_axis, valid_len,
+                    lora_active, batch_axis, tp_axis,
+                )
+                return (x, aux + aux_b), None
+            return jax.checkpoint(fn) if use_remat else fn
+
+        def run_moe(carry, blocks, length, fn):
+            unroll = (
+                min(cfg.scan_unroll, length) if cfg.scan_unroll > 0 else length
+            )
+            carry, _ = jax.lax.scan(fn, carry, blocks, unroll=unroll)
+            return carry
+
+        carry = (x, jnp.zeros((), jnp.float32))
+        if 0 < k < cfg.depth:
+            prefix = jax.tree_util.tree_map(
+                lambda a: jax.lax.stop_gradient(a[:k]), params["blocks"]
+            )
+            suffix = jax.tree_util.tree_map(lambda a: a[k:], params["blocks"])
+            carry = run_moe(carry, prefix, k, make_moe_fn(False))
+            carry = run_moe(carry, suffix, cfg.depth - k, make_moe_fn(True))
+        else:
+            carry = run_moe(
+                carry, params["blocks"], cfg.depth,
+                make_moe_fn(cfg.lora_last_n_blocks > 0),
+            )
+        x, moe_aux = carry
+        if s_pad != seq:
+            x = x[:, :seq]
+        x = layer_norm(x, params["ln_f"])
+        if "projection" in params:
+            x = linear(x, params["projection"])
+        if cfg.drop_cls_token:
+            x = x[:, 1:]
+        return x, moe_aux / cfg.depth
 
     # Split the depth scan at the LoRA boundary: blocks below the last
     # `lora_last_n_blocks` have NO trainable parameters (base weights are

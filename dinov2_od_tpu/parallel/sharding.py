@@ -116,6 +116,20 @@ def _pspec_for(path, leaf, model_axis: str) -> P:
         pad = (None,) * (leaf.ndim - len(right_specs))
         return P(*(pad + right_specs))
 
+    if parent == "moe":
+        # Expert parallelism: expert FFN weights shard their E axis over
+        # the model axis (ops/moe.py routes the dispatched activations
+        # to match, so each shard runs only its local experts' GEMMs).
+        # Leaf shapes (stacked under a leading depth axis):
+        #   fc1_kernel [depth, E, d, m], fc2_kernel [depth, E, m, d]
+        #   fc1_bias   [depth, E, m],    fc2_bias   [depth, E, d]
+        #   router_kernel [depth, d, E] — replicated (it is tiny and
+        #   every token needs all E logits before dispatch).
+        if name in ("fc1_kernel", "fc2_kernel"):
+            return spec_from_right((model_axis, None, None))
+        if name in ("fc1_bias", "fc2_bias"):
+            return spec_from_right((model_axis, None))
+        return P()
     if parent == "deform":
         if name in _DEFORM_COL:
             return spec_from_right((None, model_axis))
@@ -176,6 +190,12 @@ def check_tp_compatible(detector_cfg, model_parallel_size: int) -> None:
             raise ValueError(
                 f"{what}={dim} not divisible by model_parallel_size={tp}"
             )
+    if bb.ffn_type == "moe" and bb.moe_num_experts % tp != 0:
+        raise ValueError(
+            f"backbone moe_num_experts={bb.moe_num_experts} not divisible "
+            f"by model_parallel_size={tp} (experts shard over the model "
+            f"axis)"
+        )
 
 
 def param_shardings(

@@ -190,6 +190,26 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "per-layer matching)")
     p.add_argument("--n_points", type=int, default=2)
     p.add_argument("--dino_model", type=str, default="facebook/dinov2-base")
+    # MoE backbone FFN (beyond reference; ops/moe.py). Experts shard
+    # over the model axis (expert parallelism) under --model_parallel.
+    p.add_argument("--ffn_type", type=str, default=None,
+                   choices=["mlp", "swiglu", "moe"],
+                   help="override the backbone FFN type (default: the "
+                        "ViT variant's — mlp, swiglu for giant); 'moe' "
+                        "swaps in a mixture-of-experts FFN with "
+                        "expert-parallel sharding")
+    p.add_argument("--moe_experts", type=int,
+                   default=C.BackboneConfig.moe_num_experts,
+                   help="experts per MoE layer (with --ffn_type moe)")
+    p.add_argument("--moe_top_k", type=int,
+                   default=C.BackboneConfig.moe_top_k,
+                   help="experts routed per token")
+    p.add_argument("--moe_capacity_factor", type=float,
+                   default=C.BackboneConfig.moe_capacity_factor,
+                   help="per-expert slot budget multiplier")
+    p.add_argument("--moe_aux_weight", type=float,
+                   default=C.BackboneConfig.moe_aux_weight,
+                   help="router load-balance loss weight")
     p.add_argument("--lightweight", action="store_true")
     p.add_argument("--skip_checkpoint_load", action="store_true")
     p.add_argument("--image_size", type=int, default=224)
@@ -315,6 +335,18 @@ def build_detector_config(args) -> C.DetectorConfig:
         cfg = dataclasses.replace(
             cfg,
             backbone=dataclasses.replace(cfg.backbone, prefix_int8=True),
+        )
+    if getattr(args, "ffn_type", None):
+        cfg = dataclasses.replace(
+            cfg,
+            backbone=dataclasses.replace(
+                cfg.backbone,
+                ffn_type_override=args.ffn_type,
+                moe_num_experts=args.moe_experts,
+                moe_top_k=args.moe_top_k,
+                moe_capacity_factor=args.moe_capacity_factor,
+                moe_aux_weight=args.moe_aux_weight,
+            ),
         )
     return cfg
 

@@ -172,6 +172,14 @@ def make_train_step(
                 )
                 total = total + aux_losses["loss"]
                 losses[f"loss_aux_{i}"] = aux_losses["loss"]
+            if "moe_aux" in out:
+                # Router load-balance loss (ops/moe.py; weight from
+                # BackboneConfig.moe_aux_weight).
+                moe_term = (
+                    det_cfg.backbone.moe_aux_weight * out["moe_aux"]
+                )
+                total = total + moe_term
+                losses["loss_moe_aux"] = out["moe_aux"]
             losses["loss"] = total
             return total, losses
 

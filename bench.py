@@ -48,11 +48,13 @@ def main() -> int:
     from dinov2_od_tpu.utils.benchmark import measure_steps_per_sec
 
     # Env-configurable: BENCH_BATCH, BENCH_MODEL (small|base|large),
-    # BENCH_IMAGE_SIZE (224|518), BENCH_MODE (train|eval), BENCH_REMAT=1.
+    # BENCH_IMAGE_SIZE (224|518), BENCH_MODE (train|eval), BENCH_REMAT=1,
+    # BENCH_FFN=moe (MoE backbone FFN, ops/moe.py; BENCH_MOE_EXPERTS).
     batch_size = int(os.environ.get("BENCH_BATCH", "32"))
     model = os.environ.get("BENCH_MODEL", "base")
     image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "224"))
     mode = os.environ.get("BENCH_MODE", "train")
+    ffn = os.environ.get("BENCH_FFN", "")
     n_chips = max(1, len(jax.devices()))
 
     det = detector_config_for_model_name(
@@ -70,6 +72,8 @@ def main() -> int:
             # BENCH_PREFIX_INT8=1: int8 forward for the frozen prefix
             # blocks (stop-gradiented -> pure inference; BENCH.md).
             prefix_int8=os.environ.get("BENCH_PREFIX_INT8", "0") == "1",
+            ffn_type_override=ffn or None,
+            moe_num_experts=int(os.environ.get("BENCH_MOE_EXPERTS", "8")),
         ),
     )
     cfg = TrainConfig(
@@ -142,6 +146,7 @@ def main() -> int:
                         and os.environ.get("BENCH_QUANT") == "int8"
                         else "bf16 backbone, "
                     )
+                    + (f"moe-E{det.backbone.moe_num_experts} FFN, " if ffn == "moe" else "")
                     + f"{jax.default_backend()})"
                 ),
                 "value": round(images_per_sec_chip, 2),

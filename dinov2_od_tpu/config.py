@@ -85,10 +85,13 @@ class BackboneConfig:
     depth_override: Optional[int] = None
     num_heads_override: Optional[int] = None
     mlp_ratio_override: Optional[float] = None
-    # "mlp" | "swiglu" | "moe" (None = variant table). "moe" swaps every
-    # block's dense FFN for a mixture-of-experts FFN (ops/moe.py) —
-    # beyond-reference capability; experts shard over the mesh's model
-    # axis (expert parallelism, parallel/sharding.py "moe" rules).
+    # "mlp" | "swiglu" | "moe" (None = variant table). "moe" swaps the
+    # dense FFN of the ADAPTED last `lora_last_n_blocks` blocks for a
+    # mixture-of-experts FFN (ops/moe.py, sparse-upcycling layout: the
+    # frozen prefix keeps its dense, pretrained-loadable FFN; set
+    # lora_last_n_blocks = depth for full-depth MoE) — beyond-reference
+    # capability; experts shard over the mesh's model axis (expert
+    # parallelism, parallel/sharding.py "moe" rules).
     ffn_type_override: Optional[str] = None
     # MoE knobs (active only when ffn_type == "moe").
     moe_num_experts: int = 8

@@ -124,11 +124,11 @@ def trainable_mask(params: Params, cfg: DetectorConfig) -> Params:
                 return True
             if keys[-1] in ("lora_A", "lora_B"):
                 return True
-            # MoE router/expert weights follow the LoRA placement policy:
-            # they are new capacity (no pretrained MoE DINOv2 exists to
-            # freeze), trainable in the adapted last-N blocks — the
-            # per-block gating happens in lora_block_multiplier. For
-            # full MoE training set lora_last_n_blocks = depth.
+            # MoE router/expert weights are new capacity (no pretrained
+            # MoE DINOv2 exists to freeze) and live only in the adapted
+            # suffix stack ("moe_blocks", models/vit.py moe_boundary) —
+            # all of them train. lora_last_n_blocks = depth gives
+            # full-depth MoE.
             if "moe" in keys:
                 return True
         return False
@@ -149,11 +149,17 @@ def lora_block_multiplier(params: Params, cfg: DetectorConfig) -> Params:
 
     def mult(path, leaf):
         keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
-        if keys and keys[0] == "backbone" and (
-            keys[-1] in ("lora_A", "lora_B") or "moe" in keys
-        ):
-            m = jnp.zeros((depth,) + (1,) * (leaf.ndim - 1), leaf.dtype)
-            return m.at[first_adapted:].set(1.0)
+        if keys and keys[0] == "backbone":
+            if "moe_blocks" in keys:
+                # The MoE suffix stack holds ONLY adapted blocks (its
+                # LoRA, router, and expert leaves all update).
+                return jnp.ones((1,) * leaf.ndim, leaf.dtype)
+            if keys[-1] in ("lora_A", "lora_B"):
+                if cfg.backbone.ffn_type == "moe":
+                    # "blocks" is the frozen dense prefix — never adapted.
+                    return jnp.zeros((1,) * leaf.ndim, leaf.dtype)
+                m = jnp.zeros((depth,) + (1,) * (leaf.ndim - 1), leaf.dtype)
+                return m.at[first_adapted:].set(1.0)
         return jnp.ones((1,) * leaf.ndim, leaf.dtype)
 
     return jax.tree_util.tree_map_with_path(mult, params)
@@ -176,27 +182,41 @@ def fold_detector_lora(params: Params, cfg: DetectorConfig) -> Params:
     alpha = cfg.backbone.lora_alpha
     depth = cfg.backbone.depth
     first = max(0, depth - cfg.backbone.lora_last_n_blocks)
-    adapted = jnp.zeros((depth, 1, 1)).at[first:].set(1.0)
+
+    def fold_stack(blocks, adapted):
+        blocks = {k: (dict(v) if isinstance(v, dict) else v)
+                  for k, v in blocks.items()}
+        for lin in ("q", "k", "v", "proj", "fc1", "fc2"):
+            if lin not in blocks:  # MoE blocks have no dense fc1/fc2
+                continue
+            bp = dict(blocks[lin])
+            if "lora_A" in bp:
+                delta = jnp.einsum("lir,lro->lio", bp["lora_A"], bp["lora_B"])
+                # Cast the fp32 delta to the kernel's storage dtype BEFORE
+                # the add: on a cast_frozen_weights (bf16) model the fold
+                # must not silently promote the kernel back to fp32 — and
+                # the apply path computes the LoRA delta in the activation
+                # dtype anyway.
+                bp["kernel"] = bp["kernel"] + (
+                    alpha * delta * adapted
+                ).astype(bp["kernel"].dtype)
+                bp["lora_A"] = jnp.zeros_like(bp["lora_A"])
+                bp["lora_B"] = jnp.zeros_like(bp["lora_B"])
+                blocks[lin] = bp
+        return blocks
+
     backbone = dict(params["backbone"])
-    blocks = {k: (dict(v) if isinstance(v, dict) else v)
-              for k, v in backbone["blocks"].items()}
-    for lin in ("q", "k", "v", "proj", "fc1", "fc2"):
-        if lin not in blocks:  # MoE blocks have no dense fc1/fc2
-            continue
-        bp = dict(blocks[lin])
-        if "lora_A" in bp:
-            delta = jnp.einsum("lir,lro->lio", bp["lora_A"], bp["lora_B"])
-            # Cast the fp32 delta to the kernel's storage dtype BEFORE the
-            # add: on a cast_frozen_weights (bf16) model the fold must not
-            # silently promote the kernel back to fp32 — and the apply
-            # path computes the LoRA delta in the activation dtype anyway.
-            bp["kernel"] = bp["kernel"] + (alpha * delta * adapted).astype(
-                bp["kernel"].dtype
-            )
-            bp["lora_A"] = jnp.zeros_like(bp["lora_A"])
-            bp["lora_B"] = jnp.zeros_like(bp["lora_B"])
-            blocks[lin] = bp
-    backbone["blocks"] = blocks
+    if cfg.backbone.ffn_type == "moe":
+        # Split layout (vit.py moe_boundary): the dense prefix is never
+        # adapted (factors are zero by construction — folding with a zero
+        # mask just zeroes them for the serving contract); every block of
+        # the MoE suffix is adapted.
+        if "blocks" in backbone:
+            backbone["blocks"] = fold_stack(backbone["blocks"], 0.0)
+        backbone["moe_blocks"] = fold_stack(backbone["moe_blocks"], 1.0)
+    else:
+        adapted = jnp.zeros((depth, 1, 1)).at[first:].set(1.0)
+        backbone["blocks"] = fold_stack(backbone["blocks"], adapted)
     return {**params, "backbone": backbone}
 
 
@@ -210,17 +230,25 @@ def cast_frozen_weights(params: Params, cfg: DetectorConfig,
     leaves (LoRA, projection, decoder) and the tiny LayerNorm/LayerScale
     vectors stay fp32 (optimizer precision / fp32 LN statistics).
     """
+    def cast_stack(blocks):
+        blocks = {k: (dict(v) if isinstance(v, dict) else v)
+                  for k, v in blocks.items()}
+        for lin in ("q", "k", "v", "proj", "fc1", "fc2"):
+            if lin not in blocks:  # MoE blocks have no dense fc1/fc2;
+                continue  # their expert weights are trainable -> fp32
+            bp = dict(blocks[lin])
+            bp["kernel"] = bp["kernel"].astype(dtype)
+            bp["bias"] = bp["bias"].astype(dtype)
+            blocks[lin] = bp
+        return blocks
+
     backbone = dict(params["backbone"])
-    blocks = {k: (dict(v) if isinstance(v, dict) else v)
-              for k, v in backbone["blocks"].items()}
-    for lin in ("q", "k", "v", "proj", "fc1", "fc2"):
-        if lin not in blocks:  # MoE blocks have no dense fc1/fc2; their
-            continue  # expert weights are trainable and stay fp32
-        bp = dict(blocks[lin])
-        bp["kernel"] = bp["kernel"].astype(dtype)
-        bp["bias"] = bp["bias"].astype(dtype)
-        blocks[lin] = bp
-    backbone["blocks"] = blocks
+    if "blocks" in backbone:
+        backbone["blocks"] = cast_stack(backbone["blocks"])
+    if "moe_blocks" in backbone:
+        # MoE suffix: the attention bases (q/k/v/proj) are frozen like
+        # everywhere else and cast; experts/router stay fp32 (trainable).
+        backbone["moe_blocks"] = cast_stack(backbone["moe_blocks"])
     backbone["patch_embed"] = {
         "kernel": backbone["patch_embed"]["kernel"].astype(dtype),
         "bias": backbone["patch_embed"]["bias"].astype(dtype),

@@ -127,7 +127,21 @@ def load_dinov2_backbone_params(
     src_grid = int(round(src_n**0.5))
     params["pos_embed"] = interpolate_pos_embed(pos, src_grid, cfg.grid_size)
 
+    moe = cfg.ffn_type == "moe"
+    if moe:
+        from .vit import moe_boundary
+
+        boundary = moe_boundary(cfg)
+        if "encoder.layer.0.mlp.weights_in.weight" in sd:
+            raise ValueError(
+                "MoE expert upcycling requires an MLP (gelu) DINOv2 "
+                "checkpoint; this one uses SwiGLU FFNs (weights_in/out)"
+            )
+    else:
+        boundary = depth
+
     blocks = []
+    moe_blocks = []
     swiglu = cfg.ffn_type == "swiglu"
     for i in range(depth):
         pre = f"encoder.layer.{i}."
@@ -137,35 +151,60 @@ def load_dinov2_backbone_params(
         else:
             fc1_w, fc1_b = t(pre + "mlp.fc1.weight"), a(pre + "mlp.fc1.bias")
             fc2_w, fc2_b = t(pre + "mlp.fc2.weight"), a(pre + "mlp.fc2.bias")
-        blocks.append(
-            {
-                "ln1": {"scale": a(pre + "norm1.weight"), "bias": a(pre + "norm1.bias")},
-                "q": {"kernel": t(pre + "attention.attention.query.weight"),
-                      "bias": a(pre + "attention.attention.query.bias")},
-                "k": {"kernel": t(pre + "attention.attention.key.weight"),
-                      "bias": a(pre + "attention.attention.key.bias")},
-                "v": {"kernel": t(pre + "attention.attention.value.weight"),
-                      "bias": a(pre + "attention.attention.value.bias")},
-                "proj": {"kernel": t(pre + "attention.output.dense.weight"),
-                         "bias": a(pre + "attention.output.dense.bias")},
-                "ls1": a(pre + "layer_scale1.lambda1"),
-                "ln2": {"scale": a(pre + "norm2.weight"), "bias": a(pre + "norm2.bias")},
-                "fc1": {"kernel": fc1_w, "bias": fc1_b},
-                "fc2": {"kernel": fc2_w, "bias": fc2_b},
-                "ls2": a(pre + "layer_scale2.lambda1"),
+        block = {
+            "ln1": {"scale": a(pre + "norm1.weight"), "bias": a(pre + "norm1.bias")},
+            "q": {"kernel": t(pre + "attention.attention.query.weight"),
+                  "bias": a(pre + "attention.attention.query.bias")},
+            "k": {"kernel": t(pre + "attention.attention.key.weight"),
+                  "bias": a(pre + "attention.attention.key.bias")},
+            "v": {"kernel": t(pre + "attention.attention.value.weight"),
+                  "bias": a(pre + "attention.attention.value.bias")},
+            "proj": {"kernel": t(pre + "attention.output.dense.weight"),
+                     "bias": a(pre + "attention.output.dense.bias")},
+            "ls1": a(pre + "layer_scale1.lambda1"),
+            "ln2": {"scale": a(pre + "norm2.weight"), "bias": a(pre + "norm2.bias")},
+            "ls2": a(pre + "layer_scale2.lambda1"),
+        }
+        if i < boundary:
+            block["fc1"] = {"kernel": fc1_w, "bias": fc1_b}
+            block["fc2"] = {"kernel": fc2_w, "bias": fc2_b}
+            blocks.append(block)
+        else:
+            # Sparse upcycling (Komatsuzaki et al. 2023): every expert
+            # starts as a copy of the block's pretrained dense FFN (the
+            # experts diverge through routing); the router stays at the
+            # template's random init.
+            e = cfg.moe_num_experts
+            block["moe"] = {
+                "fc1_kernel": jnp.broadcast_to(fc1_w, (e,) + fc1_w.shape),
+                "fc1_bias": jnp.broadcast_to(fc1_b, (e,) + fc1_b.shape),
+                "fc2_kernel": jnp.broadcast_to(fc2_w, (e,) + fc2_w.shape),
+                "fc2_bias": jnp.broadcast_to(fc2_b, (e,) + fc2_b.shape),
             }
-        )
+            moe_blocks.append(block)
 
-    # Stack over depth, then graft the template's LoRA factors back in.
+    # Stack over depth, then graft the template's LoRA factors (and MoE
+    # routers) back in.
     import jax
 
-    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
-    tmpl_blocks = template["blocks"]
-    for lin in ("q", "k", "v", "proj", "fc1", "fc2"):
-        for lora_key in ("lora_A", "lora_B"):
-            if lora_key in tmpl_blocks[lin]:
-                stacked[lin][lora_key] = tmpl_blocks[lin][lora_key]
-    params["blocks"] = stacked
+    def stack_with_template(block_list, tmpl):
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *block_list)
+        for lin in ("q", "k", "v", "proj", "fc1", "fc2"):
+            if lin not in tmpl:
+                continue
+            for lora_key in ("lora_A", "lora_B"):
+                if lora_key in tmpl[lin]:
+                    stacked[lin][lora_key] = tmpl[lin][lora_key]
+        if "moe" in stacked:
+            stacked["moe"]["router_kernel"] = tmpl["moe"]["router_kernel"]
+        return stacked
+
+    if blocks:
+        params["blocks"] = stack_with_template(blocks, template["blocks"])
+    if moe_blocks:
+        params["moe_blocks"] = stack_with_template(
+            moe_blocks, template["moe_blocks"]
+        )
 
     params["ln_f"] = {"scale": a("layernorm.weight"), "bias": a("layernorm.bias")}
     if "projection" in template:

@@ -170,23 +170,30 @@ def quantize_backbone_int8(params: Params) -> Params:
     raises if any factor is non-zero so a training tree cannot be
     quantized by mistake.
     """
-    blocks = {
-        k: (dict(v) if isinstance(v, dict) else v)
-        for k, v in params["blocks"].items()
-    }
-    for name in ("q", "k", "v", "proj", "fc1", "fc2"):
-        if name not in blocks:  # MoE blocks: experts stay fp (attention
-            continue  # still quantizes; ops/moe.py einsums are bf16/fp32)
-        bp = blocks[name]
-        if "lora_B" in bp:
-            nonzero = jnp.any(bp["lora_B"] != 0)
-            if bool(nonzero):
-                raise ValueError(
-                    f"block linear '{name}' has unfolded LoRA factors; "
-                    "call fold_detector_lora before quantizing"
-                )
-        blocks[name] = quantize_linear(bp)
-    return {**params, "blocks": blocks}
+    def quant_stack(stack):
+        blocks = {
+            k: (dict(v) if isinstance(v, dict) else v) for k, v in stack.items()
+        }
+        for name in ("q", "k", "v", "proj", "fc1", "fc2"):
+            if name not in blocks:  # MoE blocks: experts stay fp (attention
+                continue  # still quantizes; ops/moe.py einsums are bf16)
+            bp = blocks[name]
+            if "lora_B" in bp:
+                nonzero = jnp.any(bp["lora_B"] != 0)
+                if bool(nonzero):
+                    raise ValueError(
+                        f"block linear '{name}' has unfolded LoRA factors; "
+                        "call fold_detector_lora before quantizing"
+                    )
+            blocks[name] = quantize_linear(bp)
+        return blocks
+
+    out = dict(params)
+    if "blocks" in params:
+        out["blocks"] = quant_stack(params["blocks"])
+    if "moe_blocks" in params:
+        out["moe_blocks"] = quant_stack(params["moe_blocks"])
+    return out
 
 
 def quantize_detector_int8(params: Params, cfg=None) -> Params:

@@ -43,7 +43,7 @@ from .layers import (
 Params = Dict[str, Any]
 
 
-def _init_block(rng: jax.Array, cfg: BackboneConfig) -> Params:
+def _init_block(rng: jax.Array, cfg: BackboneConfig, moe: bool = False) -> Params:
     d, m, r = cfg.hidden_dim, cfg.mlp_dim, cfg.lora_r
     keys = jax.random.split(rng, 12)
     fc1_out = 2 * m if cfg.ffn_type == "swiglu" else m
@@ -64,7 +64,7 @@ def _init_block(rng: jax.Array, cfg: BackboneConfig) -> Params:
         "ln2": layernorm_init(d),
         "ls2": jnp.full((d,), cfg.layerscale_init, jnp.float32),
     }
-    if cfg.ffn_type == "moe":
+    if moe:
         # MoE FFN (ops/moe.py — beyond reference): per-expert dense FFN
         # weights stacked on a leading E axis (shards over the model
         # axis for expert parallelism) + a replicated router. No LoRA on
@@ -87,13 +87,32 @@ def _init_block(rng: jax.Array, cfg: BackboneConfig) -> Params:
     return block
 
 
+def moe_boundary(cfg: BackboneConfig) -> int:
+    """First MoE block index under ffn_type == 'moe' (sparse-upcycling
+    layout): the frozen prefix keeps the dense FFN — that is where
+    pretrained DINOv2 weights load and where prefix_int8 applies — and
+    the adapted last `lora_last_n_blocks` swap in the MoE FFN (the new
+    trainable capacity). lora_last_n_blocks = depth gives full-depth MoE.
+    """
+    if cfg.lora_last_n_blocks <= 0:
+        raise ValueError(
+            "ffn_type='moe' requires lora_last_n_blocks > 0 (MoE lives in "
+            "the adapted blocks; set lora_last_n_blocks = depth for "
+            "full-depth MoE)"
+        )
+    return max(0, cfg.depth - cfg.lora_last_n_blocks)
+
+
 def init_backbone_params(rng: jax.Array, cfg: BackboneConfig) -> Params:
     keys = jax.random.split(rng, cfg.depth + 4)
     d = cfg.hidden_dim
 
-    blocks = [_init_block(keys[i], cfg) for i in range(cfg.depth)]
-    # Stack per-block params along a leading depth axis for lax.scan.
-    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+    k = moe_boundary(cfg) if cfg.ffn_type == "moe" else cfg.depth
+    blocks = [_init_block(keys[i], cfg, moe=(i >= k)) for i in range(cfg.depth)]
+
+    def stack(bs):
+        # Stack per-block params along a leading depth axis for lax.scan.
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *bs)
 
     params: Params = {
         "patch_embed": {
@@ -104,9 +123,12 @@ def init_backbone_params(rng: jax.Array, cfg: BackboneConfig) -> Params:
         },
         "cls_token": trunc_normal_init(keys[-3], (1, 1, d)),
         "pos_embed": trunc_normal_init(keys[-2], (1, cfg.seq_len, d)),
-        "blocks": stacked,
         "ln_f": layernorm_init(d),
     }
+    if k > 0:
+        params["blocks"] = stack(blocks[:k])
+    if k < cfg.depth:
+        params["moe_blocks"] = stack(blocks[k:])
     if cfg.target_dim is not None and cfg.target_dim != d:
         params["projection"] = torch_linear_init(keys[-1], d, cfg.target_dim)
     return params
@@ -364,52 +386,54 @@ def backbone_apply(
         return x
 
     if cfg.ffn_type == "moe":
-        # MoE depth scan: the carry additionally accumulates the router
-        # load-balance aux loss. The LoRA-boundary prefix split and its
-        # stop-gradient semantics match the dense path; pipeline
-        # parallelism is not supported with MoE (the pipeline block body
-        # has no aux channel) — EP composes with DP and TP instead.
+        # Sparse-upcycling layout (Komatsuzaki et al. 2023 shape): the
+        # frozen prefix keeps its DENSE FFN (params["blocks"] — where
+        # pretrained DINOv2 weights load and where prefix_int8 applies,
+        # exactly as in the dense path), and the adapted suffix swaps in
+        # the MoE FFN (params["moe_blocks"]). Expert params/grads/Adam
+        # moments therefore scale with lora_last_n_blocks, not depth.
+        # The suffix scan's carry additionally accumulates the router
+        # load-balance aux loss. Pipeline parallelism is not supported
+        # (its block body has no aux channel) — EP composes with DP/TP.
         if pipe_axis is not None:
             raise ValueError(
                 "ffn_type='moe' is not supported under pipeline "
                 "parallelism; shard experts over the model axis (EP) "
                 "instead"
             )
-        if cfg.prefix_int8:
-            raise ValueError("prefix_int8 is not supported with ffn_type='moe'")
-        k = max(0, cfg.depth - cfg.lora_last_n_blocks)
-
-        def make_moe_fn(lora_active):
-            def fn(carry, bp):
-                x, aux = carry
-                x, aux_b = _block_apply_moe(
-                    x, bp, cfg, attn_impl, mesh, seq_axis, valid_len,
-                    lora_active, batch_axis, tp_axis,
-                )
-                return (x, aux + aux_b), None
-            return jax.checkpoint(fn) if use_remat else fn
-
-        def run_moe(carry, blocks, length, fn):
-            unroll = (
-                min(cfg.scan_unroll, length) if cfg.scan_unroll > 0 else length
-            )
-            carry, _ = jax.lax.scan(fn, carry, blocks, unroll=unroll)
-            return carry
-
-        carry = (x, jnp.zeros((), jnp.float32))
-        if 0 < k < cfg.depth:
+        k = moe_boundary(cfg)
+        if k > 0:
             prefix = jax.tree_util.tree_map(
-                lambda a: jax.lax.stop_gradient(a[:k]), params["blocks"]
+                jax.lax.stop_gradient, params["blocks"]
             )
-            suffix = jax.tree_util.tree_map(lambda a: a[k:], params["blocks"])
-            carry = run_moe(carry, prefix, k, make_moe_fn(False))
-            carry = run_moe(carry, suffix, cfg.depth - k, make_moe_fn(True))
-        else:
-            carry = run_moe(
-                carry, params["blocks"], cfg.depth,
-                make_moe_fn(cfg.lora_last_n_blocks > 0),
+            if cfg.prefix_int8:
+                from .quantize import quantize_linear
+
+                prefix = {
+                    name: (
+                        quantize_linear(sub)
+                        if name in ("q", "k", "v", "proj", "fc1", "fc2")
+                        else sub
+                    )
+                    for name, sub in prefix.items()
+                }
+            x = run_blocks(x, prefix, k, make_block_fn(False))
+
+        def moe_fn(carry, bp):
+            h, aux = carry
+            h, aux_b = _block_apply_moe(
+                h, bp, cfg, attn_impl, mesh, seq_axis, valid_len,
+                True, batch_axis, tp_axis,
             )
-        x, moe_aux = carry
+            return (h, aux + aux_b), None
+
+        fn = jax.checkpoint(moe_fn) if use_remat else moe_fn
+        n_moe = cfg.depth - k
+        unroll = min(cfg.scan_unroll, n_moe) if cfg.scan_unroll > 0 else n_moe
+        (x, moe_aux), _ = jax.lax.scan(
+            fn, (x, jnp.zeros((), jnp.float32)), params["moe_blocks"],
+            unroll=unroll,
+        )
         if s_pad != seq:
             x = x[:, :seq]
         x = layer_norm(x, params["ln_f"])
@@ -417,7 +441,7 @@ def backbone_apply(
             x = linear(x, params["projection"])
         if cfg.drop_cls_token:
             x = x[:, 1:]
-        return x, moe_aux / cfg.depth
+        return x, moe_aux / n_moe
 
     # Split the depth scan at the LoRA boundary: blocks below the last
     # `lora_last_n_blocks` have NO trainable parameters (base weights are

@@ -178,16 +178,25 @@ class TestBackboneMoE:
             ),
         )
         params = init_detector_params(jax.random.key(0), det)
+        # Split layout: depth 3, last 2 adapted -> dense prefix stack of
+        # 1 block + MoE suffix stack of 2 blocks.
+        assert params["backbone"]["blocks"]["fc1"]["kernel"].shape[0] == 1
+        moe_fc1 = params["backbone"]["moe_blocks"]["moe"]["fc1_kernel"]
+        assert moe_fc1.shape[0] == 2
         mask = trainable_mask(params, det)
-        moe_mask = mask["backbone"]["blocks"]["moe"]
+        moe_mask = mask["backbone"]["moe_blocks"]["moe"]
         assert all(bool(v) for v in jax.tree_util.tree_leaves(moe_mask))
-        # Per-block gating: depth 3, last 2 adapted -> multiplier
-        # [0, 1, 1] on every moe leaf.
+        # The suffix stack holds only adapted blocks: multiplier 1 on
+        # every moe leaf; the dense prefix's LoRA multiplier is 0.
         mult = lora_block_multiplier(params, det)
         m = np.asarray(
-            mult["backbone"]["blocks"]["moe"]["fc1_kernel"]
+            mult["backbone"]["moe_blocks"]["moe"]["fc1_kernel"]
         ).reshape(-1)
-        np.testing.assert_allclose(m, [0.0, 1.0, 1.0])
+        np.testing.assert_allclose(m, [1.0])
+        pm = np.asarray(
+            mult["backbone"]["blocks"]["q"]["lora_A"]
+        ).reshape(-1)
+        np.testing.assert_allclose(pm, [0.0])
 
     def test_train_step_updates_experts(self):
         cfg = _moe_backbone_cfg()
@@ -203,9 +212,14 @@ class TestBackboneMoE:
         params = init_detector_params(jax.random.key(0), det)
         tx = make_optimizer(tc.optim, det, params)
         # Snapshot before the step: the train step donates the state.
-        before = np.asarray(params["backbone"]["blocks"]["moe"]["fc1_kernel"])
+        before = np.asarray(
+            params["backbone"]["moe_blocks"]["moe"]["fc1_kernel"]
+        )
         r_before = np.asarray(
-            params["backbone"]["blocks"]["moe"]["router_kernel"]
+            params["backbone"]["moe_blocks"]["moe"]["router_kernel"]
+        )
+        dense_before = np.asarray(
+            params["backbone"]["blocks"]["fc1"]["kernel"]
         )
         state = create_train_state(params, tc.optim, det)
         batch = make_batch(np.random.default_rng(0), 4, image_size=56)
@@ -214,17 +228,101 @@ class TestBackboneMoE:
         assert np.isfinite(float(metrics["loss"]))
         assert "loss_moe_aux" in metrics
         after = np.asarray(
-            new_state.params["backbone"]["blocks"]["moe"]["fc1_kernel"]
+            new_state.params["backbone"]["moe_blocks"]["moe"]["fc1_kernel"]
         )
-        # Adapted blocks (1, 2) move; frozen block 0 does not.
-        assert np.array_equal(before[0], after[0])
+        # Both adapted MoE blocks move; the frozen dense prefix does not.
+        assert not np.array_equal(before[0], after[0])
         assert not np.array_equal(before[1], after[1])
-        assert not np.array_equal(before[2], after[2])
+        dense_after = np.asarray(
+            new_state.params["backbone"]["blocks"]["fc1"]["kernel"]
+        )
+        assert np.array_equal(dense_before, dense_after)
         # Router must receive gradient through the gates too.
         r_after = np.asarray(
-            new_state.params["backbone"]["blocks"]["moe"]["router_kernel"]
+            new_state.params["backbone"]["moe_blocks"]["moe"]["router_kernel"]
         )
-        assert not np.array_equal(r_before[2], r_after[2])
+        assert not np.array_equal(r_before[1], r_after[1])
+
+
+class TestUpcycledLayout:
+    def test_prefix_int8_composes(self):
+        # The dense frozen prefix quantizes exactly as in the dense path
+        # (the MoE suffix stays fp): forward runs and is close to fp.
+        cfg = _moe_backbone_cfg()
+        params = init_backbone_params(jax.random.key(0), cfg)
+        x = jax.random.normal(jax.random.key(1), (2, 56, 56, 3))
+        ref, ref_aux = backbone_apply(params, cfg, x)
+        cfg_q = dataclasses.replace(cfg, prefix_int8=True)
+        out, aux = backbone_apply(params, cfg_q, x)
+        assert out.shape == ref.shape
+        err = float(jnp.max(jnp.abs(out - ref)))
+        scale = float(jnp.max(jnp.abs(ref)))
+        assert err < 0.1 * scale + 0.05, (err, scale)
+
+    def test_import_upcycles_pretrained_ffn(self):
+        # Sparse upcycling: every expert of an imported MoE block starts
+        # as the block's pretrained dense FFN -> with ample capacity the
+        # MoE output equals the dense FFN output (gates sum to 1 over
+        # identical experts), so the imported model reproduces the dense
+        # pretrained forward exactly at init.
+        from dinov2_od_tpu.models.import_torch import (
+            load_dinov2_backbone_params,
+        )
+
+        torch = pytest.importorskip("torch")
+        cfg_dense = _moe_backbone_cfg(ffn_type_override="mlp")
+        cfg_moe = _moe_backbone_cfg(moe_capacity_factor=4.0)
+        d, m, depth = cfg_dense.hidden_dim, cfg_dense.mlp_dim, cfg_dense.depth
+
+        gen = torch.Generator().manual_seed(0)
+        sd = {}
+        sd["embeddings.patch_embeddings.projection.weight"] = torch.randn(
+            (d, 3, 14, 14), generator=gen
+        ) * 0.02
+        sd["embeddings.patch_embeddings.projection.bias"] = torch.zeros(d)
+        sd["embeddings.cls_token"] = torch.randn((1, 1, d), generator=gen) * 0.02
+        n_src = cfg_dense.grid_size**2
+        sd["embeddings.position_embeddings"] = (
+            torch.randn((1, 1 + n_src, d), generator=gen) * 0.02
+        )
+        for i in range(depth):
+            pre = f"encoder.layer.{i}."
+            for lin, (i_dim, o_dim) in {
+                "attention.attention.query": (d, d),
+                "attention.attention.key": (d, d),
+                "attention.attention.value": (d, d),
+                "attention.output.dense": (d, d),
+                "mlp.fc1": (d, m),
+                "mlp.fc2": (m, d),
+            }.items():
+                sd[pre + lin + ".weight"] = (
+                    torch.randn((o_dim, i_dim), generator=gen) * 0.05
+                )
+                sd[pre + lin + ".bias"] = torch.zeros(o_dim)
+            for ln in ("norm1", "norm2"):
+                sd[pre + ln + ".weight"] = torch.ones(d)
+                sd[pre + ln + ".bias"] = torch.zeros(d)
+            sd[pre + "layer_scale1.lambda1"] = torch.ones(d)
+            sd[pre + "layer_scale2.lambda1"] = torch.ones(d)
+        sd["layernorm.weight"] = torch.ones(d)
+        sd["layernorm.bias"] = torch.zeros(d)
+
+        tmpl_dense = init_backbone_params(jax.random.key(0), cfg_dense)
+        tmpl_moe = init_backbone_params(jax.random.key(0), cfg_moe)
+        p_dense = load_dinov2_backbone_params(sd, cfg_dense, tmpl_dense)
+        p_moe = load_dinov2_backbone_params(sd, cfg_moe, tmpl_moe)
+
+        e = cfg_moe.moe_num_experts
+        fc1 = np.asarray(p_moe["moe_blocks"]["moe"]["fc1_kernel"])
+        for ei in range(e):  # all experts start identical
+            np.testing.assert_array_equal(fc1[:, ei], fc1[:, 0])
+
+        x = jax.random.normal(jax.random.key(1), (2, 56, 56, 3))
+        ref = backbone_apply(p_dense, cfg_dense, x)
+        out, _ = backbone_apply(p_moe, cfg_moe, x)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5
+        )
 
 
 @pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 devices")
@@ -279,11 +377,11 @@ class TestExpertParallel:
         params = init_detector_params(jax.random.key(0), det)
         mesh = create_mesh(model_parallel_size=2, devices=jax.devices()[:4])
         sharded = shard_params(params, mesh)
-        fc1 = sharded["backbone"]["blocks"]["moe"]["fc1_kernel"]
+        fc1 = sharded["backbone"]["moe_blocks"]["moe"]["fc1_kernel"]
         spec = fc1.sharding.spec
-        # [depth, E, d, m]: E sharded over 'model'
+        # [n_moe, E, d, m]: E sharded over 'model'
         assert tuple(spec) == (None, "model", None, None)
-        router = sharded["backbone"]["blocks"]["moe"]["router_kernel"]
+        router = sharded["backbone"]["moe_blocks"]["moe"]["router_kernel"]
         assert all(s is None for s in tuple(router.sharding.spec))
 
     def test_ep_train_step_on_mesh(self):

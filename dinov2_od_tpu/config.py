@@ -326,6 +326,13 @@ class MeshConfig:
     pipeline_parallel: bool = False
     # Microbatches for the pipeline schedule (0 -> stage count).
     pipeline_microbatches: int = 0
+    # FSDP / ZeRO-3 (beyond reference): additionally shard every large
+    # parameter leaf (and, by inheritance, its Adam moments) over the
+    # 'data' axis — GSPMD all-gathers weights on use and reduce-scatters
+    # gradients, cutting per-device param+optimizer memory ~1/|data|
+    # at unchanged math. Composes with TP; not with the pipeline/context
+    # shard_map paths (parallel/sharding.py raises).
+    fsdp: bool = False
     # Chunks per pipeline stage (interleaved schedule): 1 = GPipe; v > 1
     # gives each device v non-consecutive depth chunks and a v-times
     # smaller bubble (parallel/pipeline.py). Requires depth divisible by

@@ -9,6 +9,16 @@ Parallelism layout:
   sharded), row-parallel for proj/fc2 (input dim sharded), so each block
   needs exactly one all-reduce per attention and one per FFN, inserted
   automatically from the weight shardings.
+- FSDP (MeshConfig.fsdp / --fsdp): ZeRO-3-style parameter + optimizer
+  sharding over the SAME 'data' axis. Each large leaf additionally
+  shards one free linear dim over 'data'; GSPMD then inserts the
+  all-gather-on-use (forward and backward) and reduce-scatters the
+  gradients, so per-device parameter/Adam-moment memory drops ~1/|data|
+  while the math stays exactly DP. Composes with TP (a leaf sharded
+  over 'model' on one dim FSDP-shards another). The optimizer state
+  follows automatically: tx.init's zeros_like inherits the param
+  shardings. The reference has no equivalent (its DDP replicates the
+  optimizer per GPU, train.py:677).
 
 With model_parallel_size=1 every 'model' entry collapses to replication,
 so the same code path serves single-chip, pure-DP, and DP x TP.
@@ -167,6 +177,43 @@ def _pspec_for(path, leaf, model_axis: str) -> P:
     return P()
 
 
+# Leaves smaller than this many elements stay replicated under FSDP:
+# all-gathering a LayerNorm vector costs more in collective latency than
+# its shard saves in HBM.
+_FSDP_MIN_ELEMS = 65536
+
+
+def _add_fsdp_axis(spec: P, leaf, data_axis: str, data_size: int) -> P:
+    """Augment a (possibly TP-sharded) leaf spec with a 'data'-axis shard
+    on one free linear dim (ZeRO-3). Only the last two dims are
+    candidates — they are the linear in/out dims; leading dims are the
+    lax.scan block-stack axes, and sharding a scan operand's leading axis
+    would put every step's slice on a single shard. Largest eligible
+    (unsharded, divisible) dim wins; leaves with no eligible dim stay as
+    they are (graceful: an indivisible dim is a skip, not an error)."""
+    if data_size <= 1 or leaf.ndim == 0:
+        return spec
+    import math
+
+    if math.prod(leaf.shape) < _FSDP_MIN_ELEMS:
+        return spec
+    entries = list(spec) + [None] * (leaf.ndim - len(spec))
+    candidates = sorted(
+        (
+            dim
+            for dim in range(max(0, leaf.ndim - 2), leaf.ndim)
+            if entries[dim] is None and leaf.shape[dim] % data_size == 0
+            and leaf.shape[dim] > 0
+        ),
+        key=lambda dim: leaf.shape[dim],
+        reverse=True,
+    )
+    if not candidates:
+        return spec
+    entries[candidates[0]] = data_axis
+    return P(*entries)
+
+
 def check_tp_compatible(detector_cfg, model_parallel_size: int) -> None:
     """Head counts and sharded dims must divide the model axis, or the
     Megatron col/row split silently degrades to cross-shard gathers."""
@@ -202,6 +249,20 @@ def param_shardings(
     params: Params, mesh: Mesh, cfg: MeshConfig = MeshConfig()
 ) -> Params:
     """NamedSharding pytree for a detector param tree."""
+    if cfg.fsdp and (
+        cfg.context_parallel
+        or cfg.pipeline_parallel
+        or cfg.context_parallel_size > 0
+        or cfg.pipeline_parallel_size > 0
+    ):
+        # The pipeline's manual shard_map re-slices the (replicated)
+        # block stack per stage, and the ring path replicates params over
+        # 'context' — a data-sharded leaf would arrive as a local shard
+        # inside those manual regions and silently compute garbage.
+        raise ValueError(
+            "fsdp does not compose with pipeline/context parallelism; "
+            "use FSDP with plain DP or DP x TP"
+        )
     if cfg.context_parallel or cfg.pipeline_parallel:
         # The model axis carries tokens (ring attention) or pipeline
         # stages, not tensor shards: parameters replicate over it (the
@@ -209,12 +270,15 @@ def param_shardings(
         return jax.tree_util.tree_map(
             lambda leaf: NamedSharding(mesh, P()), params
         )
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(
-            mesh, _pspec_for(path, leaf, cfg.model_axis)
-        ),
-        params,
-    )
+    data_size = mesh.shape.get(cfg.data_axis, 1) if cfg.fsdp else 1
+
+    def leaf_sharding(path, leaf):
+        spec = _pspec_for(path, leaf, cfg.model_axis)
+        if cfg.fsdp:
+            spec = _add_fsdp_axis(spec, leaf, cfg.data_axis, data_size)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, params)
 
 
 def batch_sharding(mesh: Mesh, cfg: MeshConfig = MeshConfig()) -> NamedSharding:

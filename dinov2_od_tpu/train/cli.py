@@ -11,7 +11,8 @@ runtime:
   default; `--model_parallel` adds tensor parallelism);
 - `--device` is accepted and ignored (JAX selects the backend);
 - new flags: --model_parallel, --parity_mode, --pretrained_backbone,
-  --image_size, --no_normalize.
+  --image_size, --no_normalize, --fsdp (ZeRO-3 param/optimizer
+  sharding over the data axis).
 """
 
 from __future__ import annotations
@@ -123,6 +124,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "many non-consecutive depth chunks; bubble "
                         "shrinks by the same factor; microbatches must "
                         "divide by the stage count)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3: shard parameters + optimizer state over "
+                        "the data axis (weights all-gathered on use, "
+                        "gradients reduce-scattered — ~1/N param memory "
+                        "per device at unchanged math). Composes with "
+                        "--model_parallel; exclusive with pipeline/"
+                        "context parallelism")
 
     # Debug / overfit (reference train.py:1397-1406)
     p.add_argument("--debug", action="store_true")
@@ -380,6 +388,16 @@ def main(argv: Optional[List[str]] = None) -> int:
             "with --pipeline_parallel, --context_parallel, and "
             "--context_parallel_size"
         )
+    if args.fsdp and (
+        args.pipeline_parallel
+        or args.context_parallel
+        or args.context_parallel_size > 0
+        or args.pipeline_parallel_size > 0
+    ):
+        parser.error(
+            "--fsdp does not compose with pipeline/context parallelism; "
+            "use it with plain DP or DP x TP (--model_parallel)"
+        )
 
     import jax  # deferred so --help stays fast
 
@@ -468,6 +486,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         pipeline_parallel_size=args.pipeline_parallel_size,
         pipeline_microbatches=args.pipeline_microbatches,
         pipeline_chunks=args.pipeline_chunks,
+        fsdp=args.fsdp,
     )
 
     cfg = C.TrainConfig(

@@ -160,6 +160,39 @@ class TestMemory:
             assert mu.addressable_shards[0].data.size < mu.size
 
 
+class TestCheckpoint:
+    def test_fsdp_sharded_state_roundtrips_through_orbax(self, tmp_path):
+        """A checkpoint written from FSDP-sharded params + Adam state must
+        restore bit-identically (orbax gathers the shards on save; the
+        restore path re-shards via shard_params)."""
+        from dinov2_od_tpu.train.checkpoint import (
+            restore_checkpoint,
+            save_checkpoint,
+        )
+
+        cfg = _tiny_cfg()
+        params = init_detector_params(jax.random.key(0), cfg.detector)
+        mesh = create_mesh(cfg=FSDP)
+        sharded = shard_params(params, mesh, cfg=FSDP)
+        state = create_train_state(sharded, cfg.optim, cfg.detector)
+        save_checkpoint(str(tmp_path), 3, state.params, state.opt_state, 1.0)
+
+        tmpl = init_detector_params(jax.random.key(1), cfg.detector)
+        tmpl_state = create_train_state(tmpl, cfg.optim, cfg.detector)
+        restored, opt, start_epoch, _ = restore_checkpoint(
+            str(tmp_path / "checkpoint_epoch_3"),
+            tmpl,
+            tmpl_state.opt_state,
+        )
+        assert start_epoch == 4
+        re_sharded = shard_params(restored, mesh, cfg=FSDP)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(sharded),
+            jax.tree_util.tree_leaves(re_sharded),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestEquality:
     def test_fsdp_train_step_matches_single_device(self):
         """One full step (fwd + Hungarian + bwd + Adam) under FSDP must

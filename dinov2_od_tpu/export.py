@@ -1,0 +1,311 @@
+"""AOT serving bundles: serialized StableHLO modules + weights on disk.
+
+The reference has no deployment story beyond pickled torch state_dicts
+consumed by its own Python model code (reference train.py:695
+`torch.load` + module rebuild). This module exports the SERVING
+COMPUTATION itself — detector forward + device-side top-k postprocess,
+LoRA folded (and optionally int8-quantized) — as versioned StableHLO
+via `jax.export`, so a serving process needs only jax + the bundle
+directory: no model code, no config reconstruction, no train/serve skew.
+
+Bundle directory layout::
+
+    manifest.json    batch sizes, image size, max_detections, normalize,
+                     quantize mode, jax version, lowering platforms,
+                     label->category-id map, class names, param metadata
+    params.npz       flat {path: raw-bytes} of the folded serving params
+                     (dtype/shape in the manifest — bf16/int8 round-trip
+                     exactly; npz alone cannot represent ml_dtypes)
+    module_b{N}.bin  jax.export serialization, one per batch size
+
+TPU notes: modules are lowered for the platform they are exported on —
+export on the TPU host to capture the Pallas flash-attention and fused
+int8-GEMM lowerings; a CPU export yields the XLA fallback paths (the
+dispatch in ops/attention.py is resolved at trace time). Batch sizes
+are static — one module per size, the loader pads and chunks — because
+the Pallas grids are shape-specialized; a symbolic-batch export would
+force the XLA path everywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from .config import DetectorConfig
+from .evaluation.postprocess import format_detections, select_topk_detections
+
+MANIFEST = "manifest.json"
+PARAMS = "params.npz"
+_FORMAT_VERSION = 1
+
+
+def _dtype_from_name(name: str) -> np.dtype:
+    try:
+        return np.dtype(name)
+    except TypeError:
+        import ml_dtypes
+
+        return np.dtype(getattr(ml_dtypes, name))
+
+
+def _flatten_params(tree, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Nested-dict param tree -> flat {'a/b/c': array}."""
+    flat: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            flat.update(_flatten_params(v, f"{prefix}{k}/"))
+        return flat
+    flat[prefix[:-1]] = np.asarray(tree)
+    return flat
+
+
+def _unflatten_params(flat: Dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for path, arr in flat.items():
+        node = tree
+        keys = path.split("/")
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = arr
+    return tree
+
+
+def make_serving_fn(cfg: DetectorConfig, max_detections: int):
+    """The exported computation: images -> packed [B, K, 6] detections.
+
+    Columns are (score, label, x, y, w, h) — the same single-readback
+    format Predictor.detect and the async eval loop use, so ONE compact
+    D2H transfer carries a batch's results.
+    """
+    import jax.numpy as jnp
+
+    from .models import detector_apply
+
+    def serving_fn(params, images, sizes):
+        out = detector_apply(params, cfg, images, deterministic=True)
+        scores, labels, boxes = select_topk_detections(
+            out["pred_logits"], out["pred_boxes"], sizes,
+            max_detections=max_detections,
+        )
+        return jnp.concatenate(
+            [
+                scores[..., None].astype(jnp.float32),
+                labels[..., None].astype(jnp.float32),
+                boxes.astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+
+    return serving_fn
+
+
+def export_serving_bundle(
+    params,
+    cfg: DetectorConfig,
+    out_dir: str,
+    *,
+    batch_sizes: Sequence[int] = (1, 8, 32),
+    max_detections: int = 100,
+    fold_lora: bool = True,
+    quantize: Optional[str] = None,
+    normalize: bool = True,
+    label_to_cat_id: Optional[Dict[int, int]] = None,
+    class_names: Optional[Dict[int, str]] = None,
+) -> str:
+    """Export a self-contained serving bundle to ``out_dir``.
+
+    Args:
+      params: trained detector params (LoRA factors still separate —
+        folded here unless ``fold_lora=False`` because they already are).
+      quantize: None or "int8" (W8A8 backbone, models/quantize.py).
+      batch_sizes: one module is exported per size; at serve time inputs
+        are chunked/padded onto these.
+
+    Returns:
+      out_dir.
+    """
+    import jax
+    from jax import export as jax_export
+
+    from .models.detector import fold_detector_lora
+
+    if fold_lora:
+        params = fold_detector_lora(params, cfg)
+    if quantize == "int8":
+        from .models.quantize import quantize_detector_int8
+
+        params = quantize_detector_int8(params, cfg)
+    elif quantize is not None:
+        raise ValueError(f"unknown quantize mode: {quantize!r}")
+
+    batch_sizes = sorted(set(int(b) for b in batch_sizes))
+    if not batch_sizes or batch_sizes[0] < 1:
+        raise ValueError(f"bad batch_sizes: {batch_sizes}")
+
+    os.makedirs(out_dir, exist_ok=True)
+    flat = _flatten_params(jax.device_get(params))
+    np.savez(
+        os.path.join(out_dir, PARAMS),
+        **{p: a.view(np.uint8).reshape(-1) for p, a in flat.items()},
+    )
+    param_meta = {
+        p: {"dtype": a.dtype.name, "shape": list(a.shape)}
+        for p, a in flat.items()
+    }
+
+    size = cfg.backbone.image_size
+    fn = make_serving_fn(cfg, max_detections)
+    params_spec = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params
+    )
+    platforms = None
+    for b in batch_sizes:
+        exp = jax_export.export(jax.jit(fn))(
+            params_spec,
+            jax.ShapeDtypeStruct((b, size, size, 3), np.float32),
+            jax.ShapeDtypeStruct((b, 2), np.int32),
+        )
+        platforms = list(exp.platforms)
+        with open(os.path.join(out_dir, f"module_b{b}.bin"), "wb") as f:
+            f.write(exp.serialize())
+
+    manifest = {
+        "format_version": _FORMAT_VERSION,
+        "jax_version": jax.__version__,
+        "platforms": platforms,
+        "batch_sizes": batch_sizes,
+        "image_size": size,
+        "max_detections": max_detections,
+        "normalize": normalize,
+        "quantize": quantize,
+        "label_to_cat_id": {
+            str(k): int(v) for k, v in (label_to_cat_id or {}).items()
+        },
+        "class_names": {
+            str(k): str(v) for k, v in (class_names or {}).items()
+        },
+        "params": param_meta,
+    }
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return out_dir
+
+
+class ServingModel:
+    """A loaded serving bundle: jax + this class, no model code.
+
+    ``detect()`` matches Predictor.detect's output format so a bundle is
+    a drop-in replacement for checkpoint-based serving.
+    """
+
+    def __init__(self, path: str):
+        from jax import export as jax_export
+
+        with open(os.path.join(path, MANIFEST)) as f:
+            self.manifest = json.load(f)
+        if self.manifest["format_version"] > _FORMAT_VERSION:
+            raise ValueError(
+                f"bundle format {self.manifest['format_version']} is newer "
+                f"than this loader ({_FORMAT_VERSION})"
+            )
+
+        meta = self.manifest["params"]
+        with np.load(os.path.join(path, PARAMS)) as z:
+            flat = {
+                p: z[p]
+                .view(_dtype_from_name(meta[p]["dtype"]))
+                .reshape(meta[p]["shape"])
+                for p in z.files
+            }
+        self.params = _unflatten_params(flat)
+
+        self.batch_sizes: List[int] = list(self.manifest["batch_sizes"])
+        self._modules = {}
+        for b in self.batch_sizes:
+            with open(os.path.join(path, f"module_b{b}.bin"), "rb") as f:
+                self._modules[b] = jax_export.deserialize(f.read())
+
+        self.image_size: int = self.manifest["image_size"]
+        self.max_detections: int = self.manifest["max_detections"]
+        self.normalize: bool = self.manifest["normalize"]
+        self.label_to_cat_id = {
+            int(k): v for k, v in self.manifest["label_to_cat_id"].items()
+        }
+        self.class_names = {
+            int(k): v for k, v in self.manifest["class_names"].items()
+        }
+
+    def _chunks(self, n: int) -> List[Tuple[int, int]]:
+        """(start, exported_batch) chunking: greedy largest exported
+        size, padding the final partial chunk onto the smallest size
+        that fits it."""
+        out, start, largest = [], 0, self.batch_sizes[-1]
+        while n - start >= largest:
+            out.append((start, largest))
+            start += largest
+        if n - start:
+            fit = next(b for b in self.batch_sizes if b >= n - start)
+            out.append((start, fit))
+        return out
+
+    def call_packed(self, pixel: np.ndarray, sizes: np.ndarray) -> np.ndarray:
+        """[N,H,W,3] float32 (already normalized) + [N,2] sizes ->
+        packed [N, K, 6] detections."""
+        n = len(pixel)
+        outs = []
+        for start, b in self._chunks(n):
+            chunk = pixel[start : start + b]
+            sz = sizes[start : start + b]
+            pad = b - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                )
+                sz = np.concatenate([sz, np.ones((pad, 2), sz.dtype)])
+            out = self._modules[b].call(self.params, chunk, sz)
+            outs.append(np.asarray(out)[: b - pad])
+        return np.concatenate(outs) if outs else np.zeros(
+            (0, self.max_detections, 6), np.float32
+        )
+
+    def detect(
+        self,
+        images: Sequence[Union[str, np.ndarray]],
+        score_threshold: float = 0.5,
+    ) -> List[List[dict]]:
+        """File paths or [H,W,3] float arrays in [0,1] -> per-image
+        detection dicts ({"bbox" xywh pixels, "score", "category_id",
+        "name" when known}) — Predictor.detect's format."""
+        from .inference import prepare_images
+
+        pixel, orig_sizes = prepare_images(
+            images, self.image_size, self.normalize
+        )
+        packed = self.call_packed(pixel, orig_sizes)
+        per_image: List[List[dict]] = [[] for _ in range(len(pixel))]
+        results = format_detections(
+            packed[..., 0],
+            packed[..., 1].astype(np.int32),
+            packed[..., 2:],
+            np.arange(len(pixel)),
+            self.label_to_cat_id,
+            score_threshold=score_threshold,
+        )
+        for r in results:
+            det = {
+                "bbox": r["bbox"],
+                "score": r["score"],
+                "category_id": r["category_id"],
+            }
+            if self.class_names:
+                det["name"] = self.class_names.get(r["category_id"], "")
+            per_image[r["image_id"]].append(det)
+        return per_image
+
+
+def load_serving_bundle(path: str) -> ServingModel:
+    return ServingModel(path)

@@ -32,6 +32,45 @@ from .models.detector import fold_detector_lora
 from .train.checkpoint import restore_checkpoint
 
 
+def prepare_images(
+    images: Sequence[Union[str, np.ndarray]],
+    image_size: int,
+    normalize: bool,
+):
+    """File paths or [H,W,3] float arrays in [0,1] -> (pixel [N,S,S,3]
+    float32, orig_sizes [N,2] int32). Shared by Predictor and the
+    exported-bundle ServingModel (export.py)."""
+    arrs, orig_sizes = [], []
+    for im in images:
+        if isinstance(im, str):
+            from PIL import Image
+
+            with Image.open(im) as pil:
+                orig_sizes.append([pil.size[1], pil.size[0]])
+            arr = _load_image(im, image_size)
+        else:
+            arr = np.asarray(im, np.float32)
+            orig_sizes.append(list(arr.shape[:2]))
+            if arr.shape[:2] != (image_size, image_size):
+                from PIL import Image
+
+                pil = Image.fromarray((arr * 255).astype(np.uint8))
+                arr = (
+                    np.asarray(
+                        pil.resize(
+                            (image_size, image_size),
+                            Image.Resampling.BILINEAR,
+                        ),
+                        np.float32,
+                    )
+                    / 255.0
+                )
+        if normalize:
+            arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
+        arrs.append(arr)
+    return np.stack(arrs), np.asarray(orig_sizes, np.int32)
+
+
 class Predictor:
     def __init__(
         self,
@@ -101,33 +140,9 @@ class Predictor:
         return cls(params, cfg, **kwargs)
 
     def _prepare(self, images: Sequence[Union[str, np.ndarray]]):
-        size = self.cfg.backbone.image_size
-        arrs, orig_sizes = [], []
-        for im in images:
-            if isinstance(im, str):
-                from PIL import Image
-
-                with Image.open(im) as pil:
-                    orig_sizes.append([pil.size[1], pil.size[0]])
-                arr = _load_image(im, size)
-            else:
-                arr = np.asarray(im, np.float32)
-                orig_sizes.append(list(arr.shape[:2]))
-                if arr.shape[:2] != (size, size):
-                    from PIL import Image
-
-                    pil = Image.fromarray((arr * 255).astype(np.uint8))
-                    arr = (
-                        np.asarray(
-                            pil.resize((size, size), Image.Resampling.BILINEAR),
-                            np.float32,
-                        )
-                        / 255.0
-                    )
-            if self.normalize:
-                arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
-            arrs.append(arr)
-        return np.stack(arrs), np.asarray(orig_sizes, np.int32)
+        return prepare_images(
+            images, self.cfg.backbone.image_size, self.normalize
+        )
 
     def detect(
         self,

@@ -369,6 +369,34 @@ class MeshConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    """Train-time augmentation (beyond reference — the reference's whole
+    transform pipeline is Resize + ToTensor, train.py:584-587, with no
+    augmentation). All augmentations run ON DEVICE inside the jitted
+    train step (data/augment.py); all default off for reference parity.
+    """
+
+    # Per-image horizontal flip probability (boxes mirrored with it).
+    hflip_prob: float = 0.0
+    # Brightness/contrast/saturation factors ~ U[1-s, 1+s]; 0 = off.
+    color_jitter: float = 0.0
+    # Random aspect-preserving zoom ~ U[1-s, 1+s] with random placement
+    # (zoom-out pads black, zoom-in crops); boxes follow and are clipped.
+    scale_jitter: float = 0.0
+    # Boxes whose clipped width or height (normalized) falls below this
+    # after scale jitter are dropped (valid bit cleared).
+    min_box_size: float = 1e-3
+
+    @property
+    def enabled(self) -> bool:
+        return (
+            self.hflip_prob > 0
+            or self.color_jitter > 0
+            or self.scale_jitter > 0
+        )
+
+
+@dataclasses.dataclass(frozen=True)
 class TrainConfig:
     """Top-level training configuration."""
 
@@ -378,6 +406,7 @@ class TrainConfig:
     matcher: MatcherConfig = MatcherConfig()
     loss: LossConfig = LossConfig()
     mesh: MeshConfig = MeshConfig()
+    augment: AugmentConfig = AugmentConfig()
     num_epochs: int = 50
     seed: int = 42
     # Debug/overfit mode (reference: config.py:11-14)

@@ -82,7 +82,14 @@ class Predictor:
         normalize: bool = True,
         fold_lora: bool = True,
         quantize: Optional[str] = None,
+        compilation_cache: Optional[str] = None,
     ):
+        if compilation_cache:
+            # Serving restarts skip the cold XLA compile (~20-40s on
+            # remote-attached TPUs) by deserializing from this directory.
+            from .utils.compile_cache import enable_compilation_cache
+
+            enable_compilation_cache(compilation_cache)
         if fold_lora:
             params = fold_detector_lora(params, cfg)
         if quantize == "int8":

@@ -164,6 +164,29 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "batch past the per-chip sweet spot")
     p.add_argument("--debug_lr", type=float, default=5e-4)
 
+    # Train-time augmentation (beyond reference — its pipeline is
+    # Resize+ToTensor only, train.py:584-587). Runs on device inside the
+    # jitted train step (data/augment.py); defaults off (parity).
+    p.add_argument("--hflip_prob", type=float, default=0.0,
+                   help="per-image horizontal-flip probability (boxes "
+                        "mirrored with the image); 0 = off")
+    p.add_argument("--color_jitter", type=float, default=0.0,
+                   help="brightness/contrast/saturation jitter strength "
+                        "s: per-image factors ~ U[1-s, 1+s]; 0 = off")
+    p.add_argument("--scale_jitter", type=float, default=0.0,
+                   help="random zoom strength s: aspect-preserving scale "
+                        "~ U[1-s, 1+s] with random placement (zoom-out "
+                        "pads, zoom-in crops); boxes follow, clipped "
+                        "boxes below --min_box_size are dropped; 0 = off")
+    p.add_argument("--min_box_size", type=float, default=1e-3,
+                   help="normalized min box side kept after scale jitter")
+    p.add_argument("--compilation_cache", type=str, default="",
+                   help="directory for JAX's persistent compilation "
+                        "cache: re-runs, post-training evaluation, and "
+                        "serving restarts deserialize compiled programs "
+                        "instead of recompiling (a cold ViT-B step is "
+                        "~20-40s of XLA compile on remote-attached TPUs)")
+
     # coco-mini (reference train.py:1408-1419)
     p.add_argument("--use_coco_mini", action="store_true")
     p.add_argument("--coco_mini_size", type=str, default="1k")
@@ -401,6 +424,11 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     import jax  # deferred so --help stays fast
 
+    if args.compilation_cache:
+        from ..utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache(args.compilation_cache)
+
     if args.multihost or args.coordinator_address or args.num_processes:
         # Must run before any other JAX call touches the backend
         # (reference equivalent: init_process_group, train.py:491-512).
@@ -510,6 +538,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         matcher=matcher_cfg,
         loss=loss_cfg,
         mesh=mesh_cfg,
+        augment=C.AugmentConfig(
+            hflip_prob=args.hflip_prob,
+            color_jitter=args.color_jitter,
+            scale_jitter=args.scale_jitter,
+            min_box_size=args.min_box_size,
+        ),
         num_epochs=num_epochs or 50,
         debug=args.debug,
         share_aux_match=args.share_aux_match,

@@ -51,6 +51,30 @@ def prep_images(images: jnp.ndarray, normalize: bool) -> jnp.ndarray:
     return x
 
 
+def _unit_interval_images(images: jnp.ndarray, normalize: bool) -> jnp.ndarray:
+    """Bring a batch to un-normalized [0,1] RGB for augmentation.
+
+    int feeds are raw bytes; float feeds follow the prep_images
+    convention (already normalized when cfg.data.normalize) and are
+    un-normalized by the exact inverse affine — XLA fuses both affine
+    round-trips into the surrounding elementwise work."""
+    if jnp.issubdtype(images.dtype, jnp.integer):
+        return images.astype(jnp.float32) / 255.0
+    if normalize:
+        from ..data.coco import IMAGENET_MEAN, IMAGENET_STD
+
+        return images * IMAGENET_STD + IMAGENET_MEAN
+    return images
+
+
+def _normalize_unit_images(images: jnp.ndarray, normalize: bool) -> jnp.ndarray:
+    if normalize:
+        from ..data.coco import IMAGENET_MEAN, IMAGENET_STD
+
+        return (images - IMAGENET_MEAN) / IMAGENET_STD
+    return images
+
+
 def _cp_kwargs(cfg: TrainConfig, mesh):
     """detector_apply kwargs for context or pipeline parallelism over
     the model axis, when enabled in cfg.mesh; {} otherwise."""
@@ -124,18 +148,36 @@ def make_train_step(
     det_cfg = cfg.detector
     num_classes = det_cfg.decoder.num_classes
     cp = _cp_kwargs(cfg, mesh)
+    if cfg.augment.enabled:
+        # Import OUTSIDE the traced function: module import creates
+        # constants, and doing that mid-trace leaks the trace.
+        from ..data.augment import augment_batch
 
     def train_step(
         state: TrainState, batch: Batch, rng: jax.Array
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         step_rng = jax.random.fold_in(rng, state.step)
 
+        # Device-side augmentation (data/augment.py; off by default —
+        # every branch is static on cfg so the disabled path is
+        # bit-identical to pre-augmentation builds).
+        boxes, valid = batch["boxes"], batch["valid"]
+        if cfg.augment.enabled:
+            aug_rng = jax.random.fold_in(step_rng, 0x5A6)
+            x01 = _unit_interval_images(batch["images"], cfg.data.normalize)
+            x01, boxes, valid = augment_batch(
+                aug_rng, x01, boxes, valid, cfg.augment
+            )
+            images = _normalize_unit_images(x01, cfg.data.normalize)
+        else:
+            images = prep_images(batch["images"], cfg.data.normalize)
+
         def loss_fn(params):
             params = stop_gradient_frozen(params, det_cfg)
             out = detector_apply(
                 params,
                 det_cfg,
-                prep_images(batch["images"], cfg.data.normalize),
+                images,
                 rng=step_rng,
                 deterministic=False,
                 use_remat=cfg.use_remat,
@@ -145,8 +187,8 @@ def make_train_step(
                 out["pred_logits"],
                 out["pred_boxes"],
                 batch["labels"],
-                batch["boxes"],
-                batch["valid"],
+                boxes,
+                valid,
                 matcher_cfg=cfg.matcher,
                 loss_cfg=cfg.loss,
                 num_classes=num_classes,
@@ -163,8 +205,8 @@ def make_train_step(
                     aux["pred_logits"],
                     aux["pred_boxes"],
                     batch["labels"],
-                    batch["boxes"],
-                    batch["valid"],
+                    boxes,
+                    valid,
                     matcher_cfg=cfg.matcher,
                     loss_cfg=cfg.loss,
                     num_classes=num_classes,

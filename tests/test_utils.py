@@ -49,3 +49,25 @@ def test_annotate_context():
     with annotate("test_region"):
         x = sum(range(10))
     assert x == 45
+
+
+def test_compilation_cache_writes_entries(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from dinov2_od_tpu.utils.compile_cache import enable_compilation_cache
+
+    cache_dir = str(tmp_path / "xla_cache")
+    enable_compilation_cache(cache_dir)
+    try:
+        @jax.jit
+        def f(x):
+            return jnp.tanh(x @ x.T) * 3.21
+
+        f(jnp.ones((32, 16), jnp.float32)).block_until_ready()
+        import os
+
+        entries = os.listdir(cache_dir)
+        assert any("jit_f" in e for e in entries), entries
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)

@@ -76,11 +76,21 @@ def main() -> int:
             moe_num_experts=int(os.environ.get("BENCH_MOE_EXPERTS", "8")),
         ),
     )
+    # BENCH_AUG=1: device-side train-time augmentation (data/augment.py)
+    # at representative strengths, to price its step overhead.
+    aug_kwargs = {}
+    if os.environ.get("BENCH_AUG", "0") == "1":
+        from dinov2_od_tpu.config import AugmentConfig
+
+        aug_kwargs["augment"] = AugmentConfig(
+            hflip_prob=0.5, color_jitter=0.3, scale_jitter=0.25
+        )
     cfg = TrainConfig(
         detector=det,
         data=DataConfig(batch_size=batch_size, max_boxes=25),
         optim=OptimConfig(),
         use_remat=os.environ.get("BENCH_REMAT", "0") == "1",
+        **aug_kwargs,
     )
 
     from dinov2_od_tpu.models.detector import cast_frozen_weights

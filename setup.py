@@ -31,6 +31,7 @@ setup(
         "console_scripts": [
             "dinov2-od-train=dinov2_od_tpu.train.cli:main",
             "dinov2-od-download=dinov2_od_tpu.tools.download:main",
+            "dinov2-od-serve=dinov2_od_tpu.serve:main",
         ]
     },
 )

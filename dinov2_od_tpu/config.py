@@ -421,6 +421,11 @@ class TrainConfig:
     # Rematerialize backbone blocks in the backward pass (trade FLOPs for
     # HBM at 518px / large models).
     use_remat: bool = False
+    # SIGTERM -> synchronous checkpoint at the next step boundary + clean
+    # exit (train/preemption.py); resume restarts the interrupted epoch.
+    # The reference handles no signals (train.py:1279-1288 saves only on
+    # its epoch cadence).
+    save_on_preemption: bool = True
     # Auxiliary (deep-supervision) losses reuse the FINAL decoder layer's
     # assignment instead of solving a fresh match per layer. DETR matches
     # each layer independently (the default, exact); sharing removes L-1

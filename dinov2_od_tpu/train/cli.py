@@ -180,6 +180,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "boxes below --min_box_size are dropped; 0 = off")
     p.add_argument("--min_box_size", type=float, default=1e-3,
                    help="normalized min box side kept after scale jitter")
+    p.add_argument("--save_on_preemption", type=str2bool, default=True,
+                   help="on SIGTERM (pod preemption / cluster eviction): "
+                        "checkpoint at the next step boundary and exit "
+                        "cleanly; resume with --checkpoint restarts the "
+                        "interrupted epoch")
     p.add_argument("--compilation_cache", type=str, default="",
                    help="directory for JAX's persistent compilation "
                         "cache: re-runs, post-training evaluation, and "
@@ -548,6 +553,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         debug=args.debug,
         share_aux_match=args.share_aux_match,
         checkpoint_every_epochs=args.checkpoint_frequency,
+        save_on_preemption=args.save_on_preemption,
     )
 
     logger.info("devices: %s", jax.devices())

@@ -356,7 +356,40 @@ def run_training(
     rng = jax.random.key(cfg.seed)
     global_step = start_epoch * max(len(loader), 1)
 
+    # Preemption safety (train/preemption.py): SIGTERM latches a flag;
+    # the loop converts it to a synchronous checkpoint + clean return at
+    # the next step boundary. The reference loses everything since its
+    # last epoch-cadence save (train.py:1279-1288 handles no signals).
+    from .preemption import PreemptionGuard
+
+    guard = PreemptionGuard() if cfg.save_on_preemption else None
+    preempted = False
+
+    def _check_preempt(epoch: int) -> bool:
+        nonlocal preempted
+        if guard is None or not guard.triggered or preempted:
+            return preempted
+        preempted = True
+        ckpt.wait_for_saves()  # don't race an in-flight async save
+        # Metadata epoch-1 makes restore_checkpoint resume at `epoch`,
+        # i.e. the interrupted epoch restarts (epoch 0 -> -1 -> 0); the
+        # dirname is clamped so latest_checkpoint still finds it.
+        path = ckpt.save_checkpoint(
+            output_dir, epoch - 1, state.params, state.opt_state,
+            float("nan"), history if primary else None,
+            name=f"checkpoint_epoch_{max(epoch - 1, 0)}",
+        )
+        logger.warning(
+            "preemption checkpoint saved: %s (resume with --checkpoint "
+            "to restart epoch %d)", path, epoch,
+        )
+        return True
+
+    if guard is not None:
+        guard.install()
     for epoch in range(start_epoch, num_epochs):
+        if _check_preempt(epoch):
+            break
         loader.set_epoch(epoch)
         epoch_losses = []
         t_epoch = time.time()
@@ -381,6 +414,8 @@ def run_training(
             }
             state, metrics = train_step(state, batch_dev, rng)
             global_step += 1
+            if guard is not None and guard.triggered:
+                break  # checkpoint + clean exit below
             # Keep the loss as a device scalar; epoch mean is fetched once
             # (per-batch float() would sync the dispatch pipeline).
             epoch_losses.append(metrics["loss"])
@@ -426,6 +461,9 @@ def run_training(
                     tag="train/images", gt_boxes=batch["boxes"],
                     gt_valid=batch["valid"],
                 )
+
+        if _check_preempt(epoch):
+            break
 
         # One stacked readback for the whole epoch: per-scalar np.asarray
         # would cost one ~30ms relay round-trip per batch on this backend.
@@ -475,7 +513,13 @@ def run_training(
             )
             logger.info("checkpoint save started: %s", path)
 
+    if guard is not None:
+        guard.uninstall()
     ckpt.wait_for_saves()
+    if preempted:
+        # Mid-training weights are not a "final model"; the preemption
+        # checkpoint above is the resume point.
+        return state
     final_params = state.params
     if state.ema is not None:
         from .state import merge_ema

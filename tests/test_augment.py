@@ -232,3 +232,68 @@ def test_train_step_with_augmentation():
     # Different step -> different augmentation draw -> different loss.
     _, metrics2 = step(state, batch, jax.random.key(1))
     assert float(metrics2["loss"]) != loss
+
+
+def test_augmented_step_dp_sharded_matches_single_device():
+    # Augmentation draws (hflip masks, zoom factors) come from the step
+    # rng, not device layout — the DP-sharded augmented step must match
+    # the single-device one exactly like the plain step does.
+    import jax.numpy as jnp
+
+    from dinov2_od_tpu.config import (
+        BackboneConfig,
+        DecoderConfig,
+        DetectorConfig,
+        OptimConfig,
+        TrainConfig,
+    )
+    from dinov2_od_tpu.data.synthetic import NUM_SYNTHETIC_CLASSES, make_batch
+    from dinov2_od_tpu.models import init_detector_params
+    from dinov2_od_tpu.parallel import batch_sharding, create_mesh, shard_params
+    from dinov2_od_tpu.train import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    det = DetectorConfig(
+        backbone=BackboneConfig(variant="small", image_size=56, patch_size=14,
+                                lora_r=1, target_dim=32),
+        decoder=DecoderConfig(hidden_dim=32, num_queries=8, num_layers=2,
+                              num_heads=4, dim_feedforward=64,
+                              num_classes=NUM_SYNTHETIC_CLASSES, dropout=0.0),
+    )
+    cfg = TrainConfig(
+        detector=det,
+        optim=OptimConfig(learning_rate=3e-4),
+        augment=AugmentConfig(hflip_prob=0.5, color_jitter=0.2,
+                              scale_jitter=0.2),
+    )
+    params = init_detector_params(jax.random.key(0), det)
+    tx = make_optimizer(cfg.optim, det, params)
+    step = make_train_step(cfg, tx)
+    raw = make_batch(np.random.default_rng(3), 8, image_size=56, max_boxes=6)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    rng_key = jax.random.key(7)
+
+    copy = lambda p: jax.tree_util.tree_map(
+        lambda x: jnp.array(np.asarray(x)), p
+    )
+    state_a = create_train_state(copy(params), cfg.optim, det)
+    state_a, ma = step(state_a, batch, rng_key)
+
+    mesh = create_mesh(model_parallel_size=1)
+    state_b = create_train_state(
+        shard_params(copy(params), mesh), cfg.optim, det
+    )
+    bs = batch_sharding(mesh)
+    batch_sh = {k: jax.device_put(v, bs) for k, v in batch.items()}
+    state_b, mb = step(state_b, batch_sh, rng_key)
+
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=2e-4)
+    la = jax.tree_util.tree_leaves(state_a.params)
+    lb = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=3e-5
+        )

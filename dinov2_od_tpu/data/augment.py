@@ -18,7 +18,10 @@ pure jittable functions that run ON DEVICE inside the train step:
 - Static shapes: every image keeps [H, W]; boxes are transformed in
   normalized coordinates and boxes pushed out of frame are dropped by
   clearing their `valid` bit (the padded-GT representation absorbs the
-  raggedness — no dynamic shapes under jit).
+  raggedness — no dynamic shapes under jit). This fixed-canvas zoom is
+  also the TPU answer to DETR-style multi-scale training: resolution
+  bucketing would compile one XLA program per size; zooming inside a
+  constant canvas gives the scale augmentation with ONE program.
 
 Geometry convention (cxcywh boxes, normalized [0,1], images [B,H,W,3]
 float in [0,1]):

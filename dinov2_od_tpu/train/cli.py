@@ -585,14 +585,21 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
 
     # Checkpoint resume (reference train.py:686-747).
-    start_epoch, restored_opt, history = 0, None, None
+    start_epoch, start_batch, restored_opt, history = 0, 0, None, None
     if args.checkpoint and not args.skip_checkpoint_load:
         tx = make_optimizer(cfg.optim, det_cfg, params, learning_rate)
         opt_template = tx.init(params)
         params, restored_opt, start_epoch, history = ckpt.restore_checkpoint(
             args.checkpoint, params, opt_template
         )
-        logger.info("resumed from %s at epoch %d", args.checkpoint, start_epoch)
+        # A preemption checkpoint (train/preemption.py) records how many
+        # steps of the interrupted epoch completed; the loop fast-forwards
+        # the deterministic loader there, making resume exact.
+        start_batch = int((history or {}).pop("_preempt_batch_index", 0))
+        logger.info(
+            "resumed from %s at epoch %d%s", args.checkpoint, start_epoch,
+            f" batch {start_batch}" if start_batch else "",
+        )
 
     normalize = not (args.no_normalize or args.parity_mode)
     ds_kwargs = dict(
@@ -733,6 +740,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         num_epochs=num_epochs,
         learning_rate=learning_rate,
         start_epoch=start_epoch,
+        start_batch=start_batch,
         restored_opt_state=restored_opt,
         metrics_history=history,
         model_parallel=args.model_parallel,

@@ -251,6 +251,7 @@ def run_training(
     num_epochs: Optional[int] = None,
     learning_rate: Optional[float] = None,
     start_epoch: int = 0,
+    start_batch: int = 0,
     restored_opt_state=None,
     metrics_history: Optional[Dict[str, Any]] = None,
     model_parallel: int = 1,
@@ -354,7 +355,16 @@ def run_training(
             process_id=pid,
         )
     rng = jax.random.key(cfg.seed)
-    global_step = start_epoch * max(len(loader), 1)
+    global_step = start_epoch * max(len(loader), 1) + start_batch
+    if global_step:
+        # Resume continuity: the per-step rng (dropout, augmentation)
+        # folds state.step, so a resumed run must continue the stream
+        # where it stopped, not replay it from 0. With start_batch this
+        # makes mid-epoch resume EXACT (same data order + same rng =>
+        # bit-identical trajectory vs the uninterrupted run).
+        state = state._replace(
+            step=jnp.asarray(global_step, np.asarray(state.step).dtype)
+        )
 
     # Preemption safety (train/preemption.py): SIGTERM latches a flag;
     # the loop converts it to a synchronous checkpoint + clean return at
@@ -364,6 +374,7 @@ def run_training(
 
     guard = PreemptionGuard() if cfg.save_on_preemption else None
     preempted = False
+    steps_done = start_batch  # completed steps within the current epoch
 
     def _check_preempt(epoch: int) -> bool:
         nonlocal preempted
@@ -373,21 +384,33 @@ def run_training(
         ckpt.wait_for_saves()  # don't race an in-flight async save
         # Metadata epoch-1 makes restore_checkpoint resume at `epoch`,
         # i.e. the interrupted epoch restarts (epoch 0 -> -1 -> 0); the
-        # dirname is clamped so latest_checkpoint still finds it.
+        # dirname is clamped so latest_checkpoint still finds it. The
+        # sidecar records how many steps of that epoch already ran, so
+        # the CLI can fast-forward the (deterministic) loader and make
+        # the resume EXACT rather than epoch-granular.
+        hist = (
+            {**history, "_preempt_batch_index": steps_done}
+            if primary
+            else None
+        )
         path = ckpt.save_checkpoint(
             output_dir, epoch - 1, state.params, state.opt_state,
-            float("nan"), history if primary else None,
+            float("nan"), hist,
             name=f"checkpoint_epoch_{max(epoch - 1, 0)}",
         )
         logger.warning(
             "preemption checkpoint saved: %s (resume with --checkpoint "
-            "to restart epoch %d)", path, epoch,
+            "to continue epoch %d at batch %d)", path, epoch, steps_done,
         )
         return True
 
     if guard is not None:
         guard.install()
     for epoch in range(start_epoch, num_epochs):
+        # Reset BEFORE the preemption check: a signal that arrived during
+        # the previous epoch's validation must save (epoch-1, batch 0),
+        # not the stale step count of the finished epoch.
+        steps_done = start_batch if epoch == start_epoch else 0
         if _check_preempt(epoch):
             break
         loader.set_epoch(epoch)
@@ -409,11 +432,17 @@ def run_training(
         except ImportError:  # pragma: no cover
             batches = prefetched
         for i, batch in enumerate(batches):
+            if epoch == start_epoch and i < start_batch:
+                # Exact mid-epoch resume: fast-forward the deterministic
+                # loader past the steps the interrupted run completed
+                # (decode-only; no device work).
+                continue
             batch_dev = {
                 k: batch[k] for k in ("images", "boxes", "labels", "valid")
             }
             state, metrics = train_step(state, batch_dev, rng)
             global_step += 1
+            steps_done = i + 1
             if guard is not None and guard.triggered:
                 break  # checkpoint + clean exit below
             # Keep the loss as a device scalar; epoch mean is fetched once

@@ -89,3 +89,61 @@ def test_sigterm_checkpoints_and_resume_restarts_epoch(tmp_path):
     rc = main(args + ["--checkpoint", ckpt])
     assert rc == 0
     assert os.path.isdir(os.path.join(out, "final_model"))
+
+
+def test_preempted_resume_is_exact(tmp_path):
+    """Mid-epoch preempt + resume reproduces the uninterrupted run: the
+    preemption checkpoint records the batch index, the loader
+    fast-forwards there, and state.step restore continues the per-step
+    rng stream — so the final weights match exactly."""
+    import jax
+    import numpy as np
+
+    from dinov2_od_tpu.config import lightweight_detector_config
+    from dinov2_od_tpu.models import init_detector_params
+
+    images_dir, ann_file = write_coco_dataset(
+        str(tmp_path / "d"), num_images=16, image_size=56, seed=1
+    )
+
+    def run_args(out):
+        return [
+            "--train_images", images_dir, "--train_annotations", ann_file,
+            "--lightweight", "--image_size", "56", "--batch_size", "4",
+            "--num_epochs", "2", "--output_dir", out,
+            "--checkpoint_frequency", "100", "--val_frequency", "100",
+        ]
+
+    def final_params(out):
+        cfg = lightweight_detector_config(num_classes=91, image_size=56)
+        template = init_detector_params(jax.random.key(0), cfg)
+        p, _, _, _ = restore_checkpoint(
+            os.path.join(out, "final_model"), template, None
+        )
+        return p
+
+    out_a = str(tmp_path / "a")
+    assert main(run_args(out_a)) == 0
+
+    out_b = str(tmp_path / "b")
+    trigger = _SignalOnFirstBatch()
+    logging.getLogger().addHandler(trigger)
+    try:
+        assert main(run_args(out_b)) == 0
+    finally:
+        logging.getLogger().removeHandler(trigger)
+    assert trigger.fired
+    ckpt = latest_checkpoint(out_b)
+    assert ckpt is not None
+    # The preemption sidecar recorded a mid-epoch position.
+    import json
+
+    with open(os.path.join(ckpt, "metrics_history.json")) as f:
+        assert json.load(f)["_preempt_batch_index"] == 2  # 4 batches/epoch
+    assert main(run_args(out_b) + ["--checkpoint", ckpt]) == 0
+
+    la = jax.tree_util.tree_leaves(final_params(out_a))
+    lb = jax.tree_util.tree_leaves(final_params(out_b))
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -13,10 +13,16 @@ StableHLO bundle (export.py, no model code at all) behind a JSON API.
 
 API:
     GET  /healthz  -> {"status": "ok", "backend": ..., "model": ...}
+    GET  /metrics  -> Prometheus text format (requests, errors, images,
+                      latency sum/count)
     POST /detect   body {"images": [<base64 JPEG/PNG bytes>, ...],
                          "score_threshold": 0.5}
                    -> {"detections": [[{bbox, score, category_id,
                        name?}, ...] per image], "latency_ms": float}
+
+On SIGTERM the server drains: in-flight requests complete, the accept
+loop stops, and the process exits 0 (same eviction contract as the
+trainer's preemption guard, train/preemption.py).
 
 Design notes (TPU serving):
 - stdlib-only (`http.server.ThreadingHTTPServer`): request decode runs in
@@ -55,11 +61,46 @@ def _decode_image(b64: str) -> np.ndarray:
         return np.asarray(pil.convert("RGB"), np.float32) / 255.0
 
 
+class _Metrics:
+    """Thread-safe monotonic counters, rendered in Prometheus text
+    exposition format."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.errors = 0
+        self.images = 0
+        self.latency_sum_s = 0.0
+
+    def record(self, images: int = 0, latency_s: float = 0.0,
+               error: bool = False) -> None:
+        with self._lock:
+            self.requests += 1
+            self.errors += error
+            self.images += images
+            self.latency_sum_s += latency_s
+
+    def render(self) -> str:
+        with self._lock:
+            return (
+                "# TYPE serving_requests_total counter\n"
+                f"serving_requests_total {self.requests}\n"
+                "# TYPE serving_errors_total counter\n"
+                f"serving_errors_total {self.errors}\n"
+                "# TYPE serving_images_total counter\n"
+                f"serving_images_total {self.images}\n"
+                "# TYPE serving_latency_seconds summary\n"
+                f"serving_latency_seconds_sum {self.latency_sum_s:.6f}\n"
+                f"serving_latency_seconds_count {self.requests}\n"
+            )
+
+
 class _Handler(BaseHTTPRequestHandler):
     # Injected by make_server via subclassing.
     model = None
     model_info: dict = {}
     device_lock: threading.Lock = threading.Lock()
+    metrics: _Metrics = _Metrics()
 
     def log_message(self, fmt, *args):  # route to logging, not stderr
         logger.info("%s %s", self.address_string(), fmt % args)
@@ -73,6 +114,14 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self):
+        if self.path == "/metrics":
+            body = self.metrics.render().encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         if self.path != "/healthz":
             return self._reply(404, {"error": "unknown path"})
         self._reply(200, {"status": "ok", **self.model_info})
@@ -89,6 +138,7 @@ class _Handler(BaseHTTPRequestHandler):
             images = [_decode_image(b) for b in b64s]
             threshold = float(req.get("score_threshold", 0.5))
         except Exception as e:  # malformed request
+            self.metrics.record(error=True)
             return self._reply(400, {"error": f"bad request: {e}"})
         try:
             t0 = time.perf_counter()
@@ -96,12 +146,14 @@ class _Handler(BaseHTTPRequestHandler):
                 detections = self.model.detect(
                     images, score_threshold=threshold
                 )
-            latency_ms = (time.perf_counter() - t0) * 1e3
+            latency_s = time.perf_counter() - t0
         except Exception as e:
             logger.exception("detect failed")
+            self.metrics.record(error=True)
             return self._reply(500, {"error": f"inference failed: {e}"})
+        self.metrics.record(images=len(images), latency_s=latency_s)
         self._reply(
-            200, {"detections": detections, "latency_ms": latency_ms}
+            200, {"detections": detections, "latency_ms": latency_s * 1e3}
         )
 
 
@@ -118,9 +170,25 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
             "model": model,
             "model_info": dict(model_info or {}),
             "device_lock": threading.Lock(),
+            "metrics": _Metrics(),
         },
     )
     return ThreadingHTTPServer((host, port), handler)
+
+
+def install_drain_handler(server: ThreadingHTTPServer) -> None:
+    """SIGTERM -> graceful drain: stop accepting, let in-flight handler
+    threads finish, make serve_forever return. Same eviction contract as
+    training's PreemptionGuard."""
+    import signal
+
+    def _drain(signum, frame):
+        logger.info("signal %d: draining, shutting down", signum)
+        # shutdown() blocks until the serve loop exits — do it off the
+        # signal-handling (main) thread.
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _drain)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -186,6 +254,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     model.detect([np.zeros((size, size, 3), np.float32)], score_threshold=1.0)
 
     server = make_server(model, args.host, args.port, info)
+    install_drain_handler(server)
     logger.info("serving on %s:%d", args.host, server.server_address[1])
     try:
         server.serve_forever()
@@ -193,6 +262,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         pass
     finally:
         server.server_close()
+    logger.info("server drained and closed")
     return 0
 
 

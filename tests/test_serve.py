@@ -120,3 +120,55 @@ def test_concurrent_requests(server):
     [t.start() for t in threads]
     [t.join() for t in threads]
     assert results == [200] * 4
+
+
+def test_metrics_endpoint(server):
+    def scrape():
+        with urllib.request.urlopen(server + "/metrics", timeout=30) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            return {
+                line.split()[0]: float(line.split()[1])
+                for line in r.read().decode().splitlines()
+                if line and not line.startswith("#")
+            }
+
+    before = scrape()
+    rng = np.random.default_rng(3)
+    _post(server + "/detect",
+          {"images": [_png_b64(rng), _png_b64(rng)], "score_threshold": 0.5})
+    try:
+        _post(server + "/detect", {"images": "bad"})
+    except urllib.error.HTTPError:
+        pass
+    after = scrape()
+    assert after["serving_requests_total"] - before["serving_requests_total"] == 2
+    assert after["serving_images_total"] - before["serving_images_total"] == 2
+    assert after["serving_errors_total"] - before["serving_errors_total"] == 1
+    assert after["serving_latency_seconds_sum"] > before["serving_latency_seconds_sum"]
+
+
+def test_sigterm_drains_server():
+    import signal
+
+    from dinov2_od_tpu.serve import install_drain_handler, make_server as mk
+
+    class _Dummy:
+        def detect(self, images, score_threshold=0.5):
+            return [[] for _ in images]
+
+    srv = mk(_Dummy(), "127.0.0.1", 0)
+    before = signal.getsignal(signal.SIGTERM)
+    install_drain_handler(srv)
+    t = threading.Thread(target=srv.serve_forever)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.server_address[1]}/healthz", timeout=30
+        ) as r:
+            assert r.status == 200
+        signal.raise_signal(signal.SIGTERM)
+        t.join(timeout=30)
+        assert not t.is_alive()  # serve_forever returned: drained
+    finally:
+        srv.server_close()
+        signal.signal(signal.SIGTERM, before)

@@ -289,10 +289,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "behavior)")
     p.add_argument("--decode_backend", type=str,
                    default=C.DataConfig.decode_backend,
-                   choices=["auto", "pil"],
-                   help="JPEG decode: auto = libjpeg scaled decode + "
-                        "SIMD resize (2.3x faster); pil = exact "
-                        "reference pixels (forced by --parity_mode)")
+                   choices=["auto", "cv2", "pil"],
+                   help="JPEG decode: auto = native C thread-pool decoder "
+                        "(libjpeg-turbo M/8 scaled decode, falls back to "
+                        "cv2/PIL); cv2 = reduced-scale cv2 path; pil = "
+                        "exact reference pixels (forced by --parity_mode)")
 
     # Parity / quirk toggles
     p.add_argument("--parity_mode", action="store_true",

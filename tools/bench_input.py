@@ -54,7 +54,8 @@ def bench_decode(images_dir: str, ann: str, image_size: int, n: int = 300):
     variants = [
         ("pil_float32", dict(decode_backend="pil", output_dtype="float32")),
         ("pil_uint8", dict(decode_backend="pil", output_dtype="uint8")),
-        ("fast_uint8", dict(decode_backend="auto", output_dtype="uint8")),
+        ("cv2_uint8", dict(decode_backend="cv2", output_dtype="uint8")),
+        ("native_uint8", dict(decode_backend="auto", output_dtype="uint8")),
     ]
     for name, kw in variants:
         ds = CocoDetectionDataset(images_dir, ann, image_size, **kw)
@@ -66,6 +67,26 @@ def bench_decode(images_dir: str, ann: str, image_size: int, n: int = 300):
         dt = time.perf_counter() - t0
         results[name] = m / dt
         print(f"  decode {name}: {m / dt:.1f} img/s ({dt / m * 1e3:.2f} ms)")
+
+    # One-call native batch decode (C thread pool, zero per-image Python).
+    from dinov2_od_tpu.data import native_decode
+
+    if native_decode.get_lib() is not None:
+        ds = CocoDetectionDataset(
+            images_dir, ann, image_size,
+            output_dtype="uint8", decode_backend="auto",
+        )
+        paths = [
+            os.path.join(images_dir, ds.images[i]["file_name"])
+            for i in ds.image_ids[: min(n, len(ds))]
+        ]
+        native_decode.decode_batch(paths[:8], image_size)  # warm
+        t0 = time.perf_counter()
+        _, failed = native_decode.decode_batch(paths, image_size)
+        dt = time.perf_counter() - t0
+        assert not failed, failed
+        results["native_batch"] = len(paths) / dt
+        print(f"  decode native_batch: {len(paths) / dt:.1f} img/s")
     return results
 
 

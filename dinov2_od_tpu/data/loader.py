@@ -32,6 +32,19 @@ from typing import Dict, Iterator
 import numpy as np
 
 
+def shuffled_order(
+    n: int, seed: int, epoch: int, shuffle: bool = True
+) -> np.ndarray:
+    """The canonical epoch example order: seeded, epoch-aware
+    (DistributedSampler.set_epoch semantics, reference train.py:1039).
+    Shared by DataLoader and the device-cached loop (train/device_cache.py)
+    so both consume identical batch sequences."""
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed + epoch).shuffle(order)
+    return order
+
+
 class DataLoader:
     def __init__(
         self,
@@ -71,11 +84,9 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _order(self) -> np.ndarray:
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            rng = np.random.default_rng(self.seed + self.epoch)
-            rng.shuffle(order)
-        return order
+        return shuffled_order(
+            len(self.dataset), self.seed, self.epoch, self.shuffle
+        )
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self._order()
@@ -112,16 +123,25 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        # Packed datasets (data/packed.py) assemble a whole batch with one
+        # gather per field; decoding datasets fan out per example.
+        fast_batch = getattr(self.dataset, "get_batch", None)
+
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for bi, idxs in enumerate(batches):
                     if stop.is_set():
                         break
-                    examples = list(pool.map(self.dataset.get_example, idxs))
-                    batch = {
-                        k: np.stack([e[k] for e in examples])
-                        for k in examples[0]
-                    }
+                    if fast_batch is not None:
+                        batch = fast_batch(idxs)
+                    else:
+                        examples = list(
+                            pool.map(self.dataset.get_example, idxs)
+                        )
+                        batch = {
+                            k: np.stack([e[k] for e in examples])
+                            for k in examples[0]
+                        }
                     if local_real:
                         batch["_local_n"] = np.int64(local_real[bi])
                     q.put(batch)

@@ -202,6 +202,12 @@ def validate(
         dataset.label_to_cat_id, output_file=pred_file,
         parity_mode=parity_mode, batch_sharding_=batch_sharding_,
     )
+    return _finish_validation(results, dataset, epoch, output_dir)
+
+
+def _finish_validation(
+    results: List[dict], dataset, epoch: int, output_dir: str
+) -> Dict[str, float]:
     metrics = compute_coco_metrics(results, dataset.coco_path)
     metrics_file = os.path.join(output_dir, f"metrics_epoch_{epoch}.json")
     if jax.process_index() == 0:
@@ -262,6 +268,8 @@ def run_training(
     parity_mode: bool = False,
     log_images_enabled: bool = False,
     log_images_frequency: int = 100,
+    device_cache: bool = False,
+    steps_per_dispatch: int = 8,
 ) -> TrainState:
     os.makedirs(output_dir, exist_ok=True)
     num_epochs = num_epochs or cfg.num_epochs
@@ -324,7 +332,40 @@ def run_training(
 
     pc, pid = jax.process_count(), jax.process_index()
     primary = pid == 0
-    if cfg.data.loader == "grain":
+
+    # Device-resident dataset cache + K-steps-per-dispatch
+    # (train/device_cache.py): zero per-step H2D beyond the index array,
+    # dispatch round trip amortized K-fold. Single-host only.
+    cache = multi_step = val_cache_state = eval_all = None
+    if device_cache:
+        if pc > 1:
+            raise NotImplementedError(
+                "--device_cache is single-host (a pod keeps the per-host "
+                "loader path; the cache would need per-host sharding)"
+            )
+        from .device_cache import (
+            epoch_index_groups,
+            make_cached_eval,
+            make_multi_train_step,
+            upload_train_cache,
+        )
+
+        cache = upload_train_cache(train_dataset, mesh)
+        multi_step = make_multi_train_step(
+            cfg, tx, mesh=mesh, batch_sharding_=bsharding
+        )
+        if val_dataset is not None:
+            eval_all = make_cached_eval(
+                cfg, mesh=mesh, parity_mode=parity_mode,
+                batch_sharding_=bsharding,
+            )
+        if log_images_enabled:
+            logger.warning(
+                "--log_images is a no-op under --device_cache "
+                "(batches never materialize on the host)"
+            )
+
+    if cfg.data.loader == "grain" and not device_cache:
         if pc > 1:
             raise NotImplementedError(
                 "multi-host runs use the threaded loader "
@@ -413,83 +454,123 @@ def run_training(
         steps_done = start_batch if epoch == start_epoch else 0
         if _check_preempt(epoch):
             break
-        loader.set_epoch(epoch)
+        epoch_skip = start_batch if epoch == start_epoch else 0
         epoch_losses = []
         t_epoch = time.time()
-        # Decode (worker threads) and H2D transfer (prefetch thread) of
-        # batch i+1 overlap with the device computing step i.
-        prefetched = device_prefetch(
-            iter(loader), bsharding, size=2,
-            device_keys=("images", "boxes", "labels", "valid"),
-        )
-        try:
-            from tqdm import tqdm
 
-            batches = tqdm(
-                prefetched, total=len(loader),
-                desc=f"Epoch {epoch}/{num_epochs - 1}", leave=False,
+        def _log_step(metrics, last):
+            """Shared per-cadence logging; `last` extracts a python float
+            from a metrics leaf (scalar or stacked [K])."""
+            loss = last(metrics["loss"])
+            logger.info(
+                "epoch %d batch %d/%d loss %.4f (ce %.4f bbox %.4f giou %.4f)",
+                epoch, steps_done - 1, steps_per_epoch, loss,
+                last(metrics["loss_ce"]), last(metrics["loss_bbox"]),
+                last(metrics["loss_giou"]),
             )
-        except ImportError:  # pragma: no cover
-            batches = prefetched
-        for i, batch in enumerate(batches):
-            if epoch == start_epoch and i < start_batch:
-                # Exact mid-epoch resume: fast-forward the deterministic
-                # loader past the steps the interrupted run completed
-                # (decode-only; no device work).
-                continue
-            batch_dev = {
-                k: batch[k] for k in ("images", "boxes", "labels", "valid")
+            scalars = {
+                k: last(v)
+                for k, v in metrics.items()
+                if k.startswith("loss") or k == "grad_norm"
             }
-            state, metrics = train_step(state, batch_dev, rng)
-            global_step += 1
-            steps_done = i + 1
-            if guard is not None and guard.triggered:
-                break  # checkpoint + clean exit below
-            # Keep the loss as a device scalar; epoch mean is fetched once
-            # (per-batch float() would sync the dispatch pipeline).
-            epoch_losses.append(metrics["loss"])
-            if i % log_frequency == 0:
-                loss = float(metrics["loss"])
-                logger.info(
-                    "epoch %d batch %d/%d loss %.4f (ce %.4f bbox %.4f giou %.4f)",
-                    epoch, i, len(loader), loss,
-                    float(metrics["loss_ce"]), float(metrics["loss_bbox"]),
-                    float(metrics["loss_giou"]),
+            if lr_sched is not None:
+                # Schedule count = optimizer updates (accumulation-
+                # aware); reference logs its constant lr too
+                # (train.py:1140).
+                upd = global_step // max(
+                    1, cfg.optim.gradient_accumulation_steps
                 )
-                scalars = {
-                    k: v
-                    for k, v in metrics.items()
-                    if k.startswith("loss") or k == "grad_norm"
+                scalars["lr"] = float(lr_sched(upd))
+            log_metrics(writer, scalars, global_step, prefix="train/")
+            if memory_monitor:
+                logger.info("memory:\n%s", format_memory_stats())
+            return loss
+
+        if device_cache:
+            # Dispatch K steps at a time against the device-resident
+            # cache; per-group host work is one [K, B] int index upload.
+            groups = epoch_index_groups(
+                len(train_dataset), cfg.data.batch_size,
+                steps_per_dispatch, cfg.seed, epoch, skip=epoch_skip,
+            )
+            steps_per_epoch = epoch_skip + sum(len(g) for g in groups)
+            try:
+                from tqdm import tqdm
+
+                giter = tqdm(
+                    groups, desc=f"Epoch {epoch}/{num_epochs - 1}",
+                    leave=False,
+                )
+            except ImportError:  # pragma: no cover
+                giter = groups
+            for grp in giter:
+                state, metrics = multi_step(state, cache, grp, rng)
+                k = len(grp)
+                global_step += k
+                prev = steps_done
+                steps_done += k
+                if guard is not None and guard.triggered:
+                    break
+                epoch_losses.append(metrics["loss"])
+                if prev // log_frequency != steps_done // log_frequency or prev == epoch_skip:
+                    loss = _log_step(metrics, lambda v: float(v[-1]))
+                    if hasattr(giter, "set_postfix"):
+                        giter.set_postfix(loss=f"{loss:.3f}")
+        else:
+            loader.set_epoch(epoch)
+            steps_per_epoch = len(loader)
+            # Decode (worker threads) and H2D transfer (prefetch thread)
+            # of batch i+1 overlap with the device computing step i.
+            prefetched = device_prefetch(
+                iter(loader), bsharding, size=2,
+                device_keys=("images", "boxes", "labels", "valid"),
+            )
+            try:
+                from tqdm import tqdm
+
+                batches = tqdm(
+                    prefetched, total=len(loader),
+                    desc=f"Epoch {epoch}/{num_epochs - 1}", leave=False,
+                )
+            except ImportError:  # pragma: no cover
+                batches = prefetched
+            for i, batch in enumerate(batches):
+                if epoch == start_epoch and i < start_batch:
+                    # Exact mid-epoch resume: fast-forward the
+                    # deterministic loader past the steps the interrupted
+                    # run completed (decode-only; no device work).
+                    continue
+                batch_dev = {
+                    k: batch[k] for k in ("images", "boxes", "labels", "valid")
                 }
-                if lr_sched is not None:
-                    # Schedule count = optimizer updates (accumulation-
-                    # aware); reference logs its constant lr too
-                    # (train.py:1140).
-                    upd = global_step // max(
-                        1, cfg.optim.gradient_accumulation_steps
+                state, metrics = train_step(state, batch_dev, rng)
+                global_step += 1
+                steps_done = i + 1
+                if guard is not None and guard.triggered:
+                    break  # checkpoint + clean exit below
+                # Keep the loss as a device scalar; epoch mean is fetched
+                # once (per-batch float() would sync the dispatch pipeline).
+                epoch_losses.append(metrics["loss"])
+                if i % log_frequency == 0:
+                    loss = _log_step(metrics, float)
+                    if hasattr(batches, "set_postfix"):
+                        # Live per-loss postfix (reference train.py:1161-1165).
+                        batches.set_postfix(
+                            loss=f"{loss:.3f}",
+                            ce=f"{float(metrics['loss_ce']):.3f}",
+                            bbox=f"{float(metrics['loss_bbox']):.3f}",
+                            giou=f"{float(metrics['loss_giou']):.3f}",
+                        )
+                if (
+                    log_images_enabled
+                    and writer is not None
+                    and global_step % log_images_frequency == 0
+                ):
+                    log_images(
+                        writer, batch["images"], global_step,
+                        tag="train/images", gt_boxes=batch["boxes"],
+                        gt_valid=batch["valid"],
                     )
-                    scalars["lr"] = float(lr_sched(upd))
-                log_metrics(writer, scalars, global_step, prefix="train/")
-                if hasattr(batches, "set_postfix"):
-                    # Live per-loss postfix (reference train.py:1161-1165).
-                    batches.set_postfix(
-                        loss=f"{loss:.3f}",
-                        ce=f"{float(metrics['loss_ce']):.3f}",
-                        bbox=f"{float(metrics['loss_bbox']):.3f}",
-                        giou=f"{float(metrics['loss_giou']):.3f}",
-                    )
-                if memory_monitor:
-                    logger.info("memory:\n%s", format_memory_stats())
-            if (
-                log_images_enabled
-                and writer is not None
-                and global_step % log_images_frequency == 0
-            ):
-                log_images(
-                    writer, batch["images"], global_step,
-                    tag="train/images", gt_boxes=batch["boxes"],
-                    gt_valid=batch["valid"],
-                )
 
         if _check_preempt(epoch):
             break
@@ -497,12 +578,22 @@ def run_training(
         # One stacked readback for the whole epoch: per-scalar np.asarray
         # would cost one ~30ms relay round-trip per batch on this backend.
         epoch_loss = (
-            float(np.mean(jax.device_get(jnp.stack(epoch_losses))))
+            float(
+                np.mean(
+                    jax.device_get(
+                        jnp.concatenate(
+                            [jnp.atleast_1d(l) for l in epoch_losses]
+                        )
+                    )
+                )
+            )
             if epoch_losses
             else float("nan")
         )
         images_per_sec = (
-            len(loader) * cfg.data.batch_size / max(time.time() - t_epoch, 1e-9)
+            (steps_done - epoch_skip)
+            * cfg.data.batch_size
+            / max(time.time() - t_epoch, 1e-9)
         )
         logger.info(
             "epoch %d done: mean loss %.4f, %.1f images/sec",
@@ -519,11 +610,33 @@ def run_training(
                 from .state import merge_ema
 
                 eval_params = merge_ema(state.params, state.ema, cfg.detector)
-            metrics = validate(
-                eval_step, eval_params, val_dataset, cfg.data.batch_size,
-                epoch, output_dir, parity_mode=parity_mode,
-                batch_sharding_=bsharding,
-            )
+            if device_cache:
+                # Validation images upload once (first validate) and
+                # replay from HBM: one dispatch + one D2H per epoch.
+                from .device_cache import evaluate_cached, upload_eval_cache
+
+                if val_cache_state is None:
+                    val_cache_state = upload_eval_cache(
+                        val_dataset, cfg.data.batch_size, mesh
+                    )
+                vc, vids, vn = val_cache_state
+                results = evaluate_cached(
+                    eval_all, eval_params, vc, vids, vn,
+                    val_dataset.label_to_cat_id,
+                    output_file=os.path.join(
+                        output_dir, f"predictions_epoch_{epoch}.json"
+                    ),
+                    parity_mode=parity_mode,
+                )
+                metrics = _finish_validation(
+                    results, val_dataset, epoch, output_dir
+                )
+            else:
+                metrics = validate(
+                    eval_step, eval_params, val_dataset, cfg.data.batch_size,
+                    epoch, output_dir, parity_mode=parity_mode,
+                    batch_sharding_=bsharding,
+                )
             history["val_epochs"].append(epoch)
             for k in ("AP", "AP50", "AP75"):
                 history[f"val_{k}"].append(metrics[k])

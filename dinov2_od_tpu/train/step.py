@@ -139,12 +139,15 @@ def _cp_kwargs(cfg: TrainConfig, mesh):
 
 
 def make_train_step(
-    cfg: TrainConfig, tx: optax.GradientTransformation, mesh=None
+    cfg: TrainConfig, tx: optax.GradientTransformation, mesh=None,
+    jit: bool = True,
 ):
     """Build the jitted train step: (state, batch, rng) -> (state, metrics).
 
     `mesh` is only needed when cfg.mesh.context_parallel is set (ring
-    attention's shard_map needs the concrete mesh object)."""
+    attention's shard_map needs the concrete mesh object). `jit=False`
+    returns the raw traceable body (for embedding in a lax.scan —
+    train/device_cache.py's multi-step dispatch)."""
     det_cfg = cfg.detector
     num_classes = det_cfg.decoder.num_classes
     cp = _cp_kwargs(cfg, mesh)
@@ -250,6 +253,8 @@ def make_train_step(
         )
         return new_state, metrics
 
+    if not jit:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,))
 
 
@@ -280,6 +285,7 @@ def make_eval_topk_step(
     mesh=None,
     max_detections: int = 100,
     parity_mode: bool = False,
+    jit: bool = True,
 ):
     """Eval step with the detection top-k fused in: params, images,
     orig_sizes -> {"topk": [B, K, 6]} packed as (score, label, x, y, w,
@@ -296,7 +302,6 @@ def make_eval_topk_step(
     cp = _cp_kwargs(cfg, mesh)
     from ..evaluation.postprocess import select_topk_detections
 
-    @jax.jit
     def eval_topk_step(
         params, images: jnp.ndarray, orig_sizes: jnp.ndarray
     ) -> Dict[str, jnp.ndarray]:
@@ -322,7 +327,9 @@ def make_eval_topk_step(
             )
         }
 
-    return eval_topk_step
+    if not jit:
+        return eval_topk_step
+    return jax.jit(eval_topk_step)
 
 
 def make_loss_eval_step(cfg: TrainConfig):

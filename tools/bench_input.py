@@ -165,10 +165,51 @@ def _flagship(batch: int, image_size: int):
     return cfg, det, params
 
 
-def bench_train_from_disk(images_dir: str, ann: str, image_size: int, batch: int):
+def ensure_packed(images_dir: str, ann: str, image_size: int) -> str:
+    """Pack (decode-once) the bench dataset; returns the packed dir."""
+    from dinov2_od_tpu.data.coco import CocoDetectionDataset
+    from dinov2_od_tpu.data.packed import pack_dataset
+
+    out = os.path.join(os.path.dirname(images_dir), f"packed_{image_size}")
+    if os.path.exists(os.path.join(out, "meta.json")):
+        return out
+    ds = CocoDetectionDataset(
+        images_dir, ann, image_size, max_boxes=25,
+        output_dtype="uint8", decode_backend="auto",
+    )
+    t0 = time.perf_counter()
+    pack_dataset(ds, out)
+    dt = time.perf_counter() - t0
+    print(f"  packed {len(ds)} images in {dt:.1f}s ({len(ds) / dt:.1f} img/s)")
+    return out
+
+
+def bench_packed_loader(packed_dir: str, batch: int):
+    from dinov2_od_tpu.data.loader import DataLoader
+    from dinov2_od_tpu.data.packed import PackedDataset
+
+    ds = PackedDataset(packed_dir)
+    loader = DataLoader(ds, batch, drop_last=True)
+    n_img = min(len(ds), 2048)
+    # Two passes: the second hits a warm page cache (steady training state).
+    for p in ("cold", "warm"):
+        t0 = time.perf_counter()
+        seen = 0
+        for b in loader:
+            seen += len(b["images"])
+            if seen >= n_img:
+                break
+        rate = seen / (time.perf_counter() - t0)
+        print(f"  packed loader ({p}): {rate:.1f} img/s")
+    return {"packed_loader": rate}
+
+
+def bench_train_from_disk(images_dir: str, ann: str, image_size: int,
+                          batch: int, packed_dir: str | None = None):
     """Wall-clock from-disk train img/s: decode + H2D + step overlapped
     via device_prefetch, on the flagship ViT-B bf16 config. Also reports
-    the device-only rate of the identical step for the gap."""
+    the device-only rate of the identical step for the gap. With
+    `packed_dir`, feeds from the pre-decoded memmap instead of JPEGs."""
     import jax
     import jax.numpy as jnp
 
@@ -196,10 +237,15 @@ def bench_train_from_disk(images_dir: str, ann: str, image_size: int, batch: int
     device_rate = batch / sec
     print(f"  device-only train: {device_rate:.1f} img/s")
 
-    ds = CocoDetectionDataset(
-        images_dir, ann, image_size, max_boxes=25,
-        output_dtype="uint8", decode_backend="auto",
-    )
+    if packed_dir is not None:
+        from dinov2_od_tpu.data.packed import PackedDataset
+
+        ds = PackedDataset(packed_dir, max_boxes=25)
+    else:
+        ds = CocoDetectionDataset(
+            images_dir, ann, image_size, max_boxes=25,
+            output_dtype="uint8", decode_backend="auto",
+        )
     loader = DataLoader(ds, batch, shuffle=True, drop_last=True)
     keys = ("images", "boxes", "labels", "valid")
 
@@ -221,12 +267,86 @@ def bench_train_from_disk(images_dir: str, ann: str, image_size: int, batch: int
     float(last)  # force completion of the whole tail
     dt = time.perf_counter() - t0
     disk_rate = seen / dt
-    print(f"  from-disk train: {disk_rate:.1f} img/s over {seen} images "
+    tag = "packed" if packed_dir is not None else "disk"
+    print(f"  from-{tag} train: {disk_rate:.1f} img/s over {seen} images "
           f"({disk_rate / device_rate * 100:.0f}% of device-only)")
-    return {"train_from_disk": disk_rate, "train_device_only": device_rate}
+    return {f"train_from_{tag}": disk_rate, "train_device_only": device_rate}
 
 
-def bench_eval_from_disk(images_dir: str, ann: str, image_size: int, batch: int):
+def bench_device_cache(packed_dir: str, image_size: int, batch: int,
+                       steps_per_dispatch: int = 8):
+    """End-to-end train/eval rates with the dataset resident in HBM
+    (train/device_cache.py): the host ships only index arrays."""
+    import jax
+
+    from dinov2_od_tpu.data.packed import PackedDataset
+    from dinov2_od_tpu.models.detector import fold_detector_lora
+    from dinov2_od_tpu.train import create_train_state, make_optimizer
+    from dinov2_od_tpu.train.device_cache import (
+        epoch_index_groups,
+        evaluate_cached,
+        make_cached_eval,
+        make_multi_train_step,
+        upload_eval_cache,
+        upload_train_cache,
+    )
+
+    cfg, det, params = _flagship(batch, image_size)
+    ds = PackedDataset(packed_dir, max_boxes=25)
+    out = {}
+
+    t0 = time.perf_counter()
+    cache = upload_train_cache(ds)
+    jax.block_until_ready(cache["images"])
+    print(f"  train cache upload: {time.perf_counter() - t0:.1f}s "
+          f"({sum(v.nbytes for v in cache.values()) / 1e6:.0f} MB)")
+
+    # Fold + deep-copy BEFORE training: multi() donates the state, and
+    # fold passes non-adapted leaves through by reference.
+    import jax.numpy as jnp
+
+    eval_params = jax.tree.map(jnp.array, fold_detector_lora(params, det))
+    tx = make_optimizer(cfg.optim, det, params)
+    state = create_train_state(params, cfg.optim, det)
+    multi = make_multi_train_step(cfg, tx)
+    rng = jax.random.key(1)
+    groups = epoch_index_groups(len(ds), batch, steps_per_dispatch, 0, 0)
+    # Warm compile on the first group shape.
+    state, m = multi(state, cache, groups[0], rng)
+    float(m["loss"][-1])
+    t0 = time.perf_counter()
+    seen = 0
+    for g in groups[1:]:
+        if g.shape[0] != steps_per_dispatch:
+            break
+        state, m = multi(state, cache, g, rng)
+        seen += g.size
+    float(m["loss"][-1])
+    rate = seen / (time.perf_counter() - t0)
+    print(f"  device-cache train (K={steps_per_dispatch}): {rate:.1f} img/s "
+          f"over {seen} images")
+    out["train_device_cache"] = rate
+
+    if os.environ.get("BENCH_QUANT") == "int8":
+        from dinov2_od_tpu.models.quantize import quantize_detector_int8
+
+        eval_params = quantize_detector_int8(eval_params, det)
+    ecache, ids, n = upload_eval_cache(ds, batch)
+    eval_all = make_cached_eval(cfg)
+    evaluate_cached(eval_all, eval_params, ecache, ids, n,
+                    ds.label_to_cat_id)  # warm compile
+    t0 = time.perf_counter()
+    results = evaluate_cached(eval_all, eval_params, ecache, ids, n,
+                              ds.label_to_cat_id)
+    rate = n / (time.perf_counter() - t0)
+    print(f"  device-cache eval: {rate:.1f} img/s over {n} images, "
+          f"{len(results)} detections")
+    out["eval_device_cache"] = rate
+    return out
+
+
+def bench_eval_from_disk(images_dir: str, ann: str, image_size: int,
+                         batch: int, packed_dir: str | None = None):
     """Wall-clock evaluate_dataset img/s (async double-buffered path)
     vs the in-jit device-only eval rate."""
     import jax
@@ -256,10 +376,15 @@ def bench_eval_from_disk(images_dir: str, ann: str, image_size: int, batch: int)
     device_rate = batch / sec
     print(f"  device-only eval: {device_rate:.1f} img/s")
 
-    ds = CocoDetectionDataset(
-        images_dir, ann, image_size,
-        output_dtype="uint8", decode_backend="auto",
-    )
+    if packed_dir is not None:
+        from dinov2_od_tpu.data.packed import PackedDataset
+
+        ds = PackedDataset(packed_dir)
+    else:
+        ds = CocoDetectionDataset(
+            images_dir, ann, image_size,
+            output_dtype="uint8", decode_backend="auto",
+        )
     eval_step = make_eval_topk_step(cfg)
     # Warm the compile outside the timed region.
     results = evaluate_dataset(
@@ -271,10 +396,11 @@ def bench_eval_from_disk(images_dir: str, ann: str, image_size: int, batch: int)
     )
     dt = time.perf_counter() - t0
     rate = len(ds) / dt
-    print(f"  from-disk eval: {rate:.1f} img/s over {len(ds)} images, "
+    tag = "packed" if packed_dir is not None else "disk"
+    print(f"  from-{tag} eval: {rate:.1f} img/s over {len(ds)} images, "
           f"{len(results)} detections "
           f"({rate / device_rate * 100:.0f}% of device-only)")
-    return {"eval_from_disk": rate, "eval_device_only": device_rate}
+    return {f"eval_from_{tag}": rate, "eval_device_only": device_rate}
 
 
 def main() -> int:
@@ -288,10 +414,27 @@ def main() -> int:
     ap.add_argument("--skip_host", action="store_true")
     ap.add_argument("--train", action="store_true", help="TPU train phase")
     ap.add_argument("--eval", action="store_true", help="TPU eval phase")
+    ap.add_argument("--packed", action="store_true",
+                    help="feed the train/eval phases from a pre-decoded "
+                         "packed memmap (tools/pack_dataset.py) instead "
+                         "of per-step JPEG decode")
+    ap.add_argument("--device_cache", action="store_true",
+                    help="end-to-end train/eval with the dataset resident "
+                         "in HBM + multi-step dispatch (implies --packed)")
+    ap.add_argument("--steps_per_dispatch", type=int, default=8)
     args = ap.parse_args()
 
     images_dir, ann = ensure_dataset(args.dir, args.gen, args.source_size)
     out = {}
+    packed_dir = None
+    if args.packed or args.device_cache:
+        print("packing (decode-once):")
+        packed_dir = ensure_packed(images_dir, ann, args.image_size)
+        out.update(bench_packed_loader(packed_dir, args.batch))
+    if args.device_cache:
+        print("device-cache (TPU):")
+        out.update(bench_device_cache(packed_dir, args.image_size,
+                                      args.batch, args.steps_per_dispatch))
     if not args.skip_host:
         print("decode (single thread):")
         out["decode"] = bench_decode(images_dir, ann, args.image_size)
@@ -299,10 +442,12 @@ def main() -> int:
         out["loader"] = bench_loader(images_dir, ann, args.image_size, args.batch)
     if args.train:
         print("train from disk (TPU):")
-        out.update(bench_train_from_disk(images_dir, ann, args.image_size, args.batch))
+        out.update(bench_train_from_disk(images_dir, ann, args.image_size,
+                                         args.batch, packed_dir))
     if args.eval:
         print("eval from disk (TPU):")
-        out.update(bench_eval_from_disk(images_dir, ann, args.image_size, args.batch))
+        out.update(bench_eval_from_disk(images_dir, ann, args.image_size,
+                                        args.batch, packed_dir))
     print(json.dumps(out))
     return 0
 

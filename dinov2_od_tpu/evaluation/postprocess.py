@@ -92,24 +92,32 @@ def format_detections(
     scores = np.asarray(scores)
     labels = np.asarray(labels)
     boxes = np.asarray(boxes)
+    img_ids = np.asarray(image_ids)
 
-    results = []
-    for i, img_id in enumerate(np.asarray(image_ids)):
-        keep = scores[i] > score_threshold
-        for s, l, bx in zip(scores[i][keep], labels[i][keep], boxes[i][keep]):
-            if parity_mode:
-                cat_id = int(l)  # reference emits contiguous index
-            else:
-                cat_id = int(label_to_cat_id.get(int(l), int(l)))
-            results.append(
-                {
-                    "image_id": int(img_id),
-                    "category_id": cat_id,
-                    "bbox": [float(v) for v in bx],
-                    "score": float(s),
-                }
-            )
-    return results
+    # Vectorized: one boolean mask + .tolist() conversions instead of
+    # per-detection float()/int() calls — at K=100 detections/image the
+    # Python-loop version dominated cached-eval wall clock (BENCH.md
+    # "device cache" section).
+    keep = scores > score_threshold
+    ids = np.broadcast_to(img_ids.reshape(-1, 1), scores.shape)[keep]
+    s = scores[keep]
+    l = labels[keep].astype(np.int64)
+    bx = boxes[keep]
+    if parity_mode or not label_to_cat_id:
+        cats = l  # reference emits the contiguous index
+    else:
+        hi = int(max(l.max(initial=0), max(label_to_cat_id))) + 1
+        lut = np.arange(hi, dtype=np.int64)  # identity for unknown labels
+        for k, v in label_to_cat_id.items():
+            if 0 <= k < hi:
+                lut[k] = v
+        cats = lut[np.clip(l, 0, hi - 1)]
+    return [
+        {"image_id": ii, "category_id": cc, "bbox": bb, "score": ss}
+        for ii, cc, bb, ss in zip(
+            ids.tolist(), cats.tolist(), bx.tolist(), s.tolist()
+        )
+    ]
 
 
 def postprocess_detections(

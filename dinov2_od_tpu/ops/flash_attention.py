@@ -598,10 +598,15 @@ def _flat_block_group(h: int, dh: int, s_pad: int) -> int:
     launches (g=12: fwd 0.223 ms vs g=2's 0.301) — take the largest
     valid group when the per-group logits footprint is small; at
     S_pad=1376 only the minimal group compiles (larger groups exceed
-    VMEM: 2 fp32 [S,S] tiles + g*dh-lane block buffers)."""
+    VMEM: 2 fp32 [S,S] tiles + g*dh-lane block buffers). The lane block
+    g*dh is additionally capped at 1024: ViT-giant (h=24, dh=64) at the
+    full h=24 group makes a 1536-lane block whose fused dq backward
+    exceeds the 16 MB scoped-VMEM limit under remat (23.4 MB measured);
+    1024 is the widest measured-safe width (ViT-L's 16 x 64)."""
     g0 = _flat_group(dh)
     if s_pad <= 512:
-        for g in range(h, 0, -1):
+        g_cap = max(g0, 1024 // dh)
+        for g in range(min(h, g_cap), 0, -1):
             if h % g == 0 and g % g0 == 0:
                 return g
     return g0

@@ -26,10 +26,12 @@ trainer's preemption guard, train/preemption.py).
 
 Design notes (TPU serving):
 - stdlib-only (`http.server.ThreadingHTTPServer`): request decode runs in
-  handler threads, but device dispatch is serialized by a lock — one
-  in-flight Predictor.detect keeps device batches dense and avoids
-  interleaved jit dispatch; Predictor itself double-buffers chunks so the
-  D2H link and compute overlap within a call.
+  handler threads; device dispatch goes through DynamicBatcher (default),
+  which coalesces concurrent requests into shared dense device batches —
+  a fleet of b1 clients runs the device at up to --max_batch. With
+  --no_dynamic_batching a lock serializes whole-request Predictor.detect
+  calls instead. Predictor itself double-buffers chunks so the D2H link
+  and compute overlap within a call.
 - Cold-start: pass --compilation_cache to deserialize the compiled
   program instead of re-running XLA (~20-40s for ViT-B on remote-attached
   TPUs), or serve a bundle, which never compiles.
@@ -95,12 +97,129 @@ class _Metrics:
             )
 
 
+class DynamicBatcher:
+    """Cross-request dynamic batching.
+
+    The per-request path (`device_lock` + `model.detect`) keeps batches
+    dense *within* a request but serializes requests, so a fleet of b1
+    clients runs the device at b1. This coalesces concurrent requests
+    into one `detect` call: handler threads `submit()` and block; a
+    single dispatcher thread drains the queue, waits up to
+    `max_wait_ms` for more work while the batch is below `max_batch`
+    images, issues ONE device call, and fans results back out.
+
+    Per-request score thresholds cost nothing to honor: the device call
+    runs at the *minimum* threshold in the window and each request's
+    detections are re-filtered host-side (scores are already in the
+    result dicts). Request order within a batch is preserved per image.
+
+    The solo-request latency tax is `max_wait_ms` (default 5 ms, vs a
+    ~40 ms model call) — the dispatcher stops waiting early once
+    `max_batch` images are queued.
+    """
+
+    _STOP = object()
+
+    def __init__(self, model, max_batch: int = 32,
+                 max_wait_ms: float = 5.0):
+        import queue
+
+        self.model = model
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self._queue: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        self.batches = 0          # device calls issued (for /metrics)
+        self.batched_images = 0   # images through those calls
+
+    def submit(self, images, score_threshold: float):
+        """Block until this request's results are ready (or raise the
+        device call's exception)."""
+        done = threading.Event()
+        item = {
+            "images": images,
+            "threshold": float(score_threshold),
+            "done": done,
+            "result": None,
+            "error": None,
+        }
+        self._queue.put(item)
+        done.wait()
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
+
+    def close(self):
+        self._queue.put(self._STOP)
+        self._thread.join(timeout=30)
+
+    def _collect(self):
+        """One batching window: block for the first item, then drain
+        until max_batch images or max_wait_ms, whichever first."""
+        import queue
+
+        first = self._queue.get()
+        if first is self._STOP:
+            return None
+        batch = [first]
+        n = len(first["images"])
+        deadline = time.monotonic() + self.max_wait_s
+        while n < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                item = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item is self._STOP:
+                self._queue.put(self._STOP)  # re-raise for the loop
+                break
+            batch.append(item)
+            n += len(item["images"])
+        return batch
+
+    def _run(self):
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            images = [im for item in batch for im in item["images"]]
+            threshold = min(item["threshold"] for item in batch)
+            try:
+                results = self.model.detect(
+                    images, score_threshold=threshold
+                )
+            except Exception as e:  # fan the failure out to all waiters
+                for item in batch:
+                    item["error"] = e
+                    item["done"].set()
+                continue
+            self.batches += 1
+            self.batched_images += len(images)
+            pos = 0
+            for item in batch:
+                k = len(item["images"])
+                per_image = results[pos : pos + k]
+                pos += k
+                thr = item["threshold"]
+                if thr > threshold:  # re-filter at the request's own bar
+                    per_image = [
+                        [d for d in dets if d["score"] >= thr]
+                        for dets in per_image
+                    ]
+                item["result"] = per_image
+                item["done"].set()
+
+
 class _Handler(BaseHTTPRequestHandler):
     # Injected by make_server via subclassing.
     model = None
     model_info: dict = {}
     device_lock: threading.Lock = threading.Lock()
     metrics: _Metrics = _Metrics()
+    batcher: Optional[DynamicBatcher] = None
 
     def log_message(self, fmt, *args):  # route to logging, not stderr
         logger.info("%s %s", self.address_string(), fmt % args)
@@ -115,7 +234,16 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         if self.path == "/metrics":
-            body = self.metrics.render().encode()
+            text = self.metrics.render()
+            if self.batcher is not None:
+                text += (
+                    "# TYPE serving_device_batches_total counter\n"
+                    f"serving_device_batches_total {self.batcher.batches}\n"
+                    "# TYPE serving_device_batched_images_total counter\n"
+                    "serving_device_batched_images_total "
+                    f"{self.batcher.batched_images}\n"
+                )
+            body = text.encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/plain; version=0.0.4")
             self.send_header("Content-Length", str(len(body)))
@@ -142,10 +270,13 @@ class _Handler(BaseHTTPRequestHandler):
             return self._reply(400, {"error": f"bad request: {e}"})
         try:
             t0 = time.perf_counter()
-            with self.device_lock:
-                detections = self.model.detect(
-                    images, score_threshold=threshold
-                )
+            if self.batcher is not None:
+                detections = self.batcher.submit(images, threshold)
+            else:
+                with self.device_lock:
+                    detections = self.model.detect(
+                        images, score_threshold=threshold
+                    )
             latency_s = time.perf_counter() - t0
         except Exception as e:
             logger.exception("detect failed")
@@ -158,11 +289,14 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(model, host: str = "127.0.0.1", port: int = 8000,
-                model_info: Optional[dict] = None) -> ThreadingHTTPServer:
+                model_info: Optional[dict] = None,
+                batcher: Optional[DynamicBatcher] = None,
+                ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server around any object with a
     `.detect(images, score_threshold=...)` method — Predictor or
     export.ServingModel. Tests call this with port=0 and drive
-    `serve_forever` on a thread."""
+    `serve_forever` on a thread. With `batcher`, concurrent requests
+    are coalesced into shared device batches (DynamicBatcher)."""
     handler = type(
         "BoundHandler",
         (_Handler,),
@@ -171,6 +305,7 @@ def make_server(model, host: str = "127.0.0.1", port: int = 8000,
             "model_info": dict(model_info or {}),
             "device_lock": threading.Lock(),
             "metrics": _Metrics(),
+            "batcher": batcher,
         },
     )
     return ThreadingHTTPServer((host, port), handler)
@@ -209,6 +344,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="persistent XLA cache dir (skips cold compile)")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--no_dynamic_batching", action="store_true",
+                   help="serialize requests instead of coalescing "
+                        "concurrent ones into shared device batches")
+    p.add_argument("--max_batch", type=int, default=32,
+                   help="dynamic batching: max images per device call "
+                        "(b32 is the measured v5e serving sweet spot)")
+    p.add_argument("--batch_wait_ms", type=float, default=5.0,
+                   help="dynamic batching: max time to wait for "
+                        "more requests before dispatching")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -253,7 +397,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     size = getattr(model, "image_size", None) or model.cfg.backbone.image_size
     model.detect([np.zeros((size, size, 3), np.float32)], score_threshold=1.0)
 
-    server = make_server(model, args.host, args.port, info)
+    batcher = None
+    if not args.no_dynamic_batching:
+        batcher = DynamicBatcher(
+            model, max_batch=args.max_batch,
+            max_wait_ms=args.batch_wait_ms,
+        )
+    server = make_server(model, args.host, args.port, info, batcher=batcher)
     install_drain_handler(server)
     logger.info("serving on %s:%d", args.host, server.server_address[1])
     try:
@@ -262,6 +412,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         pass
     finally:
         server.server_close()
+        if batcher is not None:
+            batcher.close()
     logger.info("server drained and closed")
     return 0
 

@@ -172,3 +172,176 @@ def test_sigterm_drains_server():
     finally:
         srv.server_close()
         signal.signal(signal.SIGTERM, before)
+
+
+# ---- dynamic batching (DynamicBatcher) ------------------------------------
+
+
+class _CountingModel:
+    """Fake model: returns one detection per image whose score encodes
+    the image's position in the device batch; records call sizes."""
+
+    def __init__(self, block_s=0.0, scores=None):
+        self.calls = []
+        self.block_s = block_s
+        self.scores = scores  # optional fixed per-detection scores
+
+    def detect(self, images, score_threshold=0.5):
+        import time as _time
+
+        self.calls.append(len(images))
+        if self.block_s:
+            _time.sleep(self.block_s)
+        out = []
+        for i, _ in enumerate(images):
+            scores = self.scores if self.scores is not None else [0.9]
+            out.append([
+                {"bbox": [0, 0, 1, 1], "score": s, "category_id": 1}
+                for s in scores
+                if s >= score_threshold
+            ])
+        return out
+
+
+def test_batcher_coalesces_concurrent_requests():
+    from dinov2_od_tpu.serve import DynamicBatcher
+
+    model = _CountingModel(block_s=0.05)
+    b = DynamicBatcher(model, max_batch=16, max_wait_ms=100.0)
+    try:
+        results = [None] * 8
+
+        def worker(i):
+            results[i] = b.submit([np.zeros((4, 4, 3))], 0.5)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(8)]
+        [t.start() for t in threads]
+        [t.join(timeout=30) for t in threads]
+        assert all(r is not None and len(r) == 1 for r in results)
+        # 8 one-image requests fired together must share device calls:
+        # strictly fewer calls than requests, images conserved.
+        assert len(model.calls) < 8
+        assert sum(model.calls) == 8
+        assert b.batches == len(model.calls)
+        assert b.batched_images == 8
+    finally:
+        b.close()
+
+
+def test_batcher_per_request_thresholds():
+    from dinov2_od_tpu.serve import DynamicBatcher
+
+    model = _CountingModel(block_s=0.05, scores=[0.9, 0.6, 0.3])
+    b = DynamicBatcher(model, max_batch=16, max_wait_ms=200.0)
+    try:
+        out = {}
+
+        def worker(name, thr):
+            out[name] = b.submit([np.zeros((4, 4, 3))], thr)
+
+        threads = [
+            threading.Thread(target=worker, args=("lo", 0.2)),
+            threading.Thread(target=worker, args=("hi", 0.8)),
+        ]
+        [t.start() for t in threads]
+        [t.join(timeout=30) for t in threads]
+        # Coalesced call ran at min(0.2, 0.8); each request re-filtered.
+        assert [d["score"] for d in out["lo"][0]] == [0.9, 0.6, 0.3]
+        assert [d["score"] for d in out["hi"][0]] == [0.9]
+    finally:
+        b.close()
+
+
+def test_batcher_order_and_multi_image_requests():
+    from dinov2_od_tpu.serve import DynamicBatcher
+
+    class _EchoModel:
+        def detect(self, images, score_threshold=0.5):
+            return [
+                [{"bbox": [0, 0, 1, 1], "score": 0.9,
+                  "category_id": int(im[0, 0, 0])}]
+                for im in images
+            ]
+
+    b = DynamicBatcher(_EchoModel(), max_batch=8, max_wait_ms=100.0)
+    try:
+        out = {}
+
+        def worker(name, tags):
+            imgs = [np.full((2, 2, 3), t, np.float32) for t in tags]
+            out[name] = b.submit(imgs, 0.0)
+
+        threads = [
+            threading.Thread(target=worker, args=("a", [1, 2, 3])),
+            threading.Thread(target=worker, args=("b", [7, 8])),
+        ]
+        [t.start() for t in threads]
+        [t.join(timeout=30) for t in threads]
+        assert [d[0]["category_id"] for d in out["a"]] == [1, 2, 3]
+        assert [d[0]["category_id"] for d in out["b"]] == [7, 8]
+    finally:
+        b.close()
+
+
+def test_batcher_propagates_errors_to_all_waiters():
+    from dinov2_od_tpu.serve import DynamicBatcher
+
+    class _BoomModel:
+        def detect(self, images, score_threshold=0.5):
+            raise RuntimeError("boom")
+
+    b = DynamicBatcher(_BoomModel(), max_batch=8, max_wait_ms=50.0)
+    try:
+        errors = []
+
+        def worker():
+            try:
+                b.submit([np.zeros((2, 2, 3))], 0.5)
+            except RuntimeError as e:
+                errors.append(str(e))
+
+        threads = [threading.Thread(target=worker) for _ in range(3)]
+        [t.start() for t in threads]
+        [t.join(timeout=30) for t in threads]
+        assert errors == ["boom"] * 3
+    finally:
+        b.close()
+
+
+def test_server_with_batcher_end_to_end():
+    from dinov2_od_tpu.serve import DynamicBatcher, make_server as mk
+
+    cfg = _cfg()
+    params = init_detector_params(jax.random.key(1), cfg)
+    model = Predictor(params, cfg, batch_size=4)
+    batcher = DynamicBatcher(model, max_batch=8, max_wait_ms=20.0)
+    srv = mk(model, "127.0.0.1", 0, {"model": "tiny"}, batcher=batcher)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        rng = np.random.default_rng(5)
+        payload = {"images": [_png_b64(rng)], "score_threshold": 0.0}
+        statuses = []
+
+        def worker():
+            statuses.append(_post(url + "/detect", payload)[0])
+
+        threads = [threading.Thread(target=worker) for _ in range(4)]
+        [t2.start() for t2 in threads]
+        [t2.join(timeout=120) for t2 in threads]
+        assert statuses == [200] * 4
+        with urllib.request.urlopen(url + "/metrics", timeout=30) as r:
+            text = r.read().decode()
+        metrics = {
+            line.split()[0]: float(line.split()[1])
+            for line in text.splitlines()
+            if line and not line.startswith("#")
+        }
+        assert metrics["serving_device_batched_images_total"] == 4
+        assert 1 <= metrics["serving_device_batches_total"] <= 4
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        batcher.close()

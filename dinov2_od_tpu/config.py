@@ -282,6 +282,14 @@ class OptimConfig:
     # EMA-merged weights. Frozen leaves are not duplicated (the EMA tree
     # stores scalar placeholders for them — they never move).
     ema_decay: float = 0.0
+    # Production robustness (beyond reference — train.py:1101 applies
+    # whatever backward produced): when True, an optimizer step whose
+    # gradients contain any NaN/Inf is skipped entirely — params AND
+    # Adam moments keep their previous values (one bad batch would
+    # otherwise poison the moment estimates permanently) — and a
+    # device-side counter increments. Zero extra HBM traffic: the
+    # select fuses into the update.
+    skip_nonfinite: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -286,9 +286,11 @@ class OptimConfig:
     # whatever backward produced): when True, an optimizer step whose
     # gradients contain any NaN/Inf is skipped entirely — params AND
     # Adam moments keep their previous values (one bad batch would
-    # otherwise poison the moment estimates permanently) — and a
-    # device-side counter increments. Zero extra HBM traffic: the
-    # select fuses into the update.
+    # otherwise poison the moment estimates permanently) — and the
+    # step's metrics report nonfinite_skip=1, which the training loop
+    # accumulates and logs. Zero extra HBM traffic: the scalar select
+    # fuses into the update. Wired in train/step.py; CLI
+    # --skip_nonfinite.
     skip_nonfinite: bool = False
 
 

@@ -362,8 +362,10 @@ class CocoEvaluator:
         return float(valid.mean()) if valid.size else -1.0
 
     def summarize(self) -> Dict[str, float]:
-        """The six headline stats the reference extracts
-        (utils.py:267-274)."""
+        """All twelve COCOeval.summarize stats: the six AP stats the
+        reference extracts (utils.py:267-274) plus the six AR stats
+        (pycocotools cocoeval.py summarizeDets stats[6:12]) from the
+        recall tensor evaluate() already accumulates."""
         return {
             "AP": self._summ(True),
             "AP50": self._summ(True, iou=0.5),
@@ -371,6 +373,12 @@ class CocoEvaluator:
             "APs": self._summ(True, area="small"),
             "APm": self._summ(True, area="medium"),
             "APl": self._summ(True, area="large"),
+            "AR1": self._summ(False, max_det=1),
+            "AR10": self._summ(False, max_det=10),
+            "AR100": self._summ(False),
+            "ARs": self._summ(False, area="small"),
+            "ARm": self._summ(False, area="medium"),
+            "ARl": self._summ(False, area="large"),
         }
 
 

@@ -156,6 +156,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="EMA of trainable weights (0 = off; e.g. 0.999): "
                         "validation and the final model use the EMA-"
                         "merged weights")
+    p.add_argument("--skip_nonfinite", action="store_true",
+                   help="skip optimizer steps whose gradients contain "
+                        "NaN/Inf (params and Adam moments untouched; "
+                        "skips counted in the logged metrics)")
     p.add_argument("--gradient_accumulation_steps", type=int, default=1,
                    help="accumulate gradients over N steps before each "
                         "optimizer update (optax MultiSteps): effective "
@@ -556,6 +560,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             warmup_steps=args.warmup_steps,
             min_lr_ratio=args.min_lr_ratio,
             ema_decay=args.ema_decay,
+            skip_nonfinite=args.skip_nonfinite,
         ),
         matcher=matcher_cfg,
         loss=loss_cfg,

@@ -243,11 +243,34 @@ def make_train_step(
 
         metrics = {k: v for k, v in losses.items()}
         metrics["grad_norm"] = optax.global_norm(grads)
+        if cfg.optim.skip_nonfinite:
+            # Non-finite guard (OptimConfig.skip_nonfinite; the reference
+            # applies whatever backward produced, train.py:1101): if ANY
+            # gradient leaf holds NaN/Inf the whole optimizer step is
+            # discarded — params AND optimizer state (Adam moments,
+            # accumulation buffers) keep their previous values, so one
+            # poisoned batch cannot corrupt the moment estimates. The
+            # scalar select fuses into the update; step/rng still advance
+            # so the bad batch is not resampled.
+            finite = jax.tree_util.tree_reduce(
+                lambda acc, g: acc & jnp.all(jnp.isfinite(g)),
+                grads,
+                jnp.asarray(True),
+            )
+            _sel = lambda new, old: jnp.where(finite, new, old)
+            params = jax.tree_util.tree_map(_sel, params, state.params)
+            opt_state = jax.tree_util.tree_map(
+                _sel, opt_state, state.opt_state
+            )
+            metrics["nonfinite_skip"] = (~finite).astype(jnp.float32)
         ema = state.ema
         if cfg.optim.ema_decay > 0 and ema is not None:
             from .state import update_ema
 
             ema = update_ema(ema, params, det_cfg, cfg.optim.ema_decay)
+            if cfg.optim.skip_nonfinite:
+                # A skipped step must not move the EMA either.
+                ema = jax.tree_util.tree_map(_sel, ema, state.ema)
         new_state = TrainState(
             step=state.step + 1, params=params, opt_state=opt_state, ema=ema
         )

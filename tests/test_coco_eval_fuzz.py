@@ -61,12 +61,13 @@ def naive_coco_eval(gt, results):
     for r in results:
         dt_by.setdefault((r["image_id"], r["category_id"]), []).append(r)
 
-    stats = {k: [] for k in ("AP", "AP50", "AP75", "APs", "APm", "APl")}
     # precision[cell] lists per category, -1 marks absent cells.
     per_cell = {}  # (area, max_det) -> list over cats of [T, R] or None
+    per_cell_rec = {}  # (area, max_det) -> list over cats of [T] or None
     for area_key, rng in AREA_RNGS.items():
         for max_det in (1, 10, 100):
             cats_prec = []
+            cats_rec = []
             for cat_id in cat_ids:
                 # Gather per image in img_ids order.
                 all_scores, all_tpfp = [], []  # tpfp entry: [T] in {1:tp,0:fp,-1:ignore}
@@ -130,14 +131,17 @@ def naive_coco_eval(gt, results):
                         all_tpfp.append(flags)
                 if not seen_any:
                     cats_prec.append(None)  # category absent entirely
+                    cats_rec.append(None)
                     continue
                 if num_gt == 0:
                     cats_prec.append("nogt")
+                    cats_rec.append("nogt")
                     continue
                 order = sorted(
                     range(len(all_scores)), key=lambda i: -all_scores[i]
                 )
                 prec_tbl = []
+                rec_row = []
                 for ti in range(len(IOU_THRS)):
                     tp = fp = 0
                     rc_list, pr_list = [], []
@@ -162,8 +166,14 @@ def naive_coco_eval(gt, results):
                         )
                         q.append(pr_list[idx] if idx is not None else 0.0)
                     prec_tbl.append(q)
+                    # Final recall at this threshold: tp_total / num_gt
+                    # (0.0 when every detection was ignored or absent —
+                    # matches accumulate()'s `rc[:, -1] if nd else 0`).
+                    rec_row.append(rc_list[-1] if rc_list else 0.0)
                 cats_prec.append(prec_tbl)
+                cats_rec.append(rec_row)
             per_cell[(area_key, max_det)] = cats_prec
+            per_cell_rec[(area_key, max_det)] = cats_rec
 
     def mean_ap(area_key, ti_sel=None):
         vals = []
@@ -177,6 +187,15 @@ def naive_coco_eval(gt, results):
         vals = [v for v in vals if v > -1]
         return float(np.mean(vals)) if vals else -1.0
 
+    def mean_ar(area_key, max_det):
+        vals = []
+        for rec in per_cell_rec[(area_key, max_det)]:
+            if rec is None or rec == "nogt":
+                continue
+            vals.extend(rec)
+        vals = [v for v in vals if v > -1]
+        return float(np.mean(vals)) if vals else -1.0
+
     return {
         "AP": mean_ap("all"),
         "AP50": mean_ap("all", 0),
@@ -184,6 +203,12 @@ def naive_coco_eval(gt, results):
         "APs": mean_ap("small"),
         "APm": mean_ap("medium"),
         "APl": mean_ap("large"),
+        "AR1": mean_ar("all", 1),
+        "AR10": mean_ar("all", 10),
+        "AR100": mean_ar("all", 100),
+        "ARs": mean_ar("small", 100),
+        "ARm": mean_ar("medium", 100),
+        "ARl": mean_ar("large", 100),
     }
 
 

@@ -238,9 +238,10 @@ class DataConfig:
     batch_size: int = 8  # per reference config.py:7 (per device)
     num_workers: int = 4
     shuffle_buffer: int = 1000
-    # Input pipeline backend: "threaded" (data/loader.py, zero deps) or
-    # "grain" (data/grain_pipeline.py — multiprocess prefetch +
-    # checkpointable iterators; requires the grain package).
+    # Input pipeline backend: "threaded" (data/loader.py, zero deps).
+    # A Grain backend existed through round 4 but lost in every measured
+    # configuration (45 img/s with worker processes / 348 in-process vs
+    # 424 threaded — BENCH.md input-pipeline ledger) and was removed.
     loader: str = "threaded"
     # Host->device image feed dtype. "uint8" ships raw bytes and runs
     # /255 + normalization in-jit (train/step.py prep_images): 4x less

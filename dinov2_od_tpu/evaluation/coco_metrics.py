@@ -212,9 +212,19 @@ class CocoEvaluator:
 
         dt_boxes_l, dt_scores_l, gt_parts = [], [], []
         for img_id in imgs:
-            dts = dt_by_img_cat.get((img_id, cat_id), [])
-            boxes = np.asarray([d["bbox"] for d in dts], np.float64).reshape(-1, 4)
-            scores = np.asarray([d["score"] for d in dts], np.float64)
+            dts = dt_by_img_cat.get((img_id, cat_id))
+            if dts is None:
+                boxes = np.zeros((0, 4), np.float64)
+                scores = np.zeros(0, np.float64)
+            elif isinstance(dts, tuple):
+                # Array-native group (evaluate_arrays): already
+                # (boxes [N,4], scores [N]) float64 views.
+                boxes, scores = dts
+            else:
+                boxes = np.asarray(
+                    [d["bbox"] for d in dts], np.float64
+                ).reshape(-1, 4)
+                scores = np.asarray([d["score"] for d in dts], np.float64)
             order = np.argsort(-scores, kind="stable")[:md_cap]
             dt_boxes_l.append(boxes[order])
             dt_scores_l.append(scores[order])
@@ -277,13 +287,40 @@ class CocoEvaluator:
     def evaluate(self, results: Sequence[dict]) -> Dict[str, float]:
         """Run the full protocol on detection result dicts
         ({image_id, category_id, bbox xywh, score})."""
-        from .native import get_lib
-
-        use_native = get_lib() is not None
-
         dt_by_img_cat = defaultdict(list)
         for r in results:
             dt_by_img_cat[(r["image_id"], r["category_id"])].append(r)
+        return self._evaluate_grouped(dt_by_img_cat)
+
+    def evaluate_arrays(
+        self, image_ids, category_ids, boxes, scores
+    ) -> Dict[str, float]:
+        """Run the full protocol on flat detection arrays
+        (image_ids [N], category_ids [N], boxes [N, 4] xywh, scores [N]
+        — the output of postprocess.select_above_threshold). Identical
+        result to evaluate() on the equivalent dicts, without building
+        or re-parsing N python dicts: one lexsort groups detections into
+        per-(image, category) array views."""
+        image_ids = np.asarray(image_ids).astype(np.int64)
+        category_ids = np.asarray(category_ids).astype(np.int64)
+        boxes = np.asarray(boxes, np.float64).reshape(-1, 4)
+        scores = np.asarray(scores, np.float64)
+        order = np.lexsort((image_ids, category_ids))
+        ii, cc = image_ids[order], category_ids[order]
+        b, s = boxes[order], scores[order]
+        groups: Dict = {}
+        if len(ii):
+            cuts = np.flatnonzero((ii[1:] != ii[:-1]) | (cc[1:] != cc[:-1])) + 1
+            starts = np.concatenate([[0], cuts])
+            ends = np.concatenate([cuts, [len(ii)]])
+            for st, en in zip(starts.tolist(), ends.tolist()):
+                groups[(int(ii[st]), int(cc[st]))] = (b[st:en], s[st:en])
+        return self._evaluate_grouped(groups)
+
+    def _evaluate_grouped(self, dt_by_img_cat) -> Dict[str, float]:
+        from .native import get_lib
+
+        use_native = get_lib() is not None
 
         n_cat = len(self.cat_ids)
         n_area = len(AREA_KEYS)

@@ -89,15 +89,43 @@ def format_detections(
     in the eval step (train/step.py::make_eval_topk_step) so only these
     compact arrays cross the device->host link.
     """
+    ids, cats, bx, s = select_above_threshold(
+        scores, labels, boxes, image_ids, label_to_cat_id,
+        score_threshold=score_threshold, parity_mode=parity_mode,
+    )
+    return [
+        {"image_id": ii, "category_id": cc, "bbox": bb, "score": ss}
+        for ii, cc, bb, ss in zip(
+            ids.tolist(), cats.tolist(), bx.tolist(), s.tolist()
+        )
+    ]
+
+
+def select_above_threshold(
+    scores,
+    labels,
+    boxes,
+    image_ids,
+    label_to_cat_id: Dict[int, int],
+    score_threshold: float = 0.05,
+    parity_mode: bool = False,
+):
+    """Array-native detection filtering: the exact selection
+    format_detections applies, returned as flat numpy arrays
+    (image_ids [N], category_ids [N], boxes [N, 4] xywh, scores [N])
+    with no dict materialization.
+
+    Vectorized: one boolean mask + a label->category LUT instead of
+    per-detection float()/int() calls — at K=100 detections/image the
+    Python-loop version dominated cached-eval wall clock (BENCH.md
+    "device cache" section). Feed the result straight into
+    CocoEvaluator.evaluate_arrays to skip COCO dict building entirely on
+    the validation cadence (dicts remain only for predictions.json)."""
     scores = np.asarray(scores)
     labels = np.asarray(labels)
     boxes = np.asarray(boxes)
     img_ids = np.asarray(image_ids)
 
-    # Vectorized: one boolean mask + .tolist() conversions instead of
-    # per-detection float()/int() calls — at K=100 detections/image the
-    # Python-loop version dominated cached-eval wall clock (BENCH.md
-    # "device cache" section).
     keep = scores > score_threshold
     ids = np.broadcast_to(img_ids.reshape(-1, 1), scores.shape)[keep]
     s = scores[keep]
@@ -112,12 +140,7 @@ def format_detections(
             if 0 <= k < hi:
                 lut[k] = v
         cats = lut[np.clip(l, 0, hi - 1)]
-    return [
-        {"image_id": ii, "category_id": cc, "bbox": bb, "score": ss}
-        for ii, cc, bb, ss in zip(
-            ids.tolist(), cats.tolist(), bx.tolist(), s.tolist()
-        )
-    ]
+    return ids, cats, bx, s
 
 
 def postprocess_detections(

@@ -272,18 +272,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--memory_monitor", action="store_true")
     p.add_argument("--num_workers", type=int, default=C.DataConfig.num_workers,
                    help="data-loading worker count (reference "
-                        "config.py:8); decode/resize threads for the "
-                        "threaded loader, processes for grain")
+                        "config.py:8): decode/resize threads for the "
+                        "threaded loader")
     p.add_argument("--checkpoint_frequency", type=int,
                    default=C.TrainConfig.checkpoint_every_epochs,
                    help="save a checkpoint every N epochs (reference "
                         "hardcodes 10, train.py:1279)")
     p.add_argument("--loader", type=str, default="threaded",
-                   choices=["threaded", "grain"],
-                   help="input pipeline backend: the zero-dependency "
-                        "threaded prefetch loader, or Grain "
-                        "(multiprocess prefetch, checkpointable "
-                        "iterators; needs the grain package)")
+                   choices=["threaded"],
+                   help="input pipeline backend (the zero-dependency "
+                        "threaded prefetch loader; a Grain backend was "
+                        "measured 45-348 img/s vs 424 threaded and "
+                        "removed — BENCH.md input-pipeline ledger)")
 
     p.add_argument("--feed_dtype", type=str, default=C.DataConfig.feed_dtype,
                    choices=["uint8", "float32"],
@@ -301,9 +301,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--device_cache", action="store_true",
                    help="upload the whole train/val dataset to device HBM "
                         "once and gather batches on-device: zero per-step "
-                        "H2D beyond a tiny index array (single-host; "
-                        "dataset must fit in HBM — 10k 224px uint8 images "
-                        "= 1.5 GB)")
+                        "H2D beyond a tiny index array (dataset must fit "
+                        "in HBM — 10k 224px uint8 images = 1.5 GB "
+                        "replicated, /data-axis-size when sharded)")
+    p.add_argument("--device_cache_layout", type=str, default="auto",
+                   choices=["auto", "replicated", "sharded"],
+                   help="cache placement: 'sharded' splits rows over the "
+                        "data axis (capacity x axis size; batches routed "
+                        "by an exact psum_scatter gather), 'replicated' "
+                        "keeps a full copy per device; 'auto' shards "
+                        "whenever the data axis is >1 or the run is "
+                        "multi-host")
     p.add_argument("--steps_per_dispatch", type=int, default=8,
                    help="with --device_cache: train steps per host "
                         "dispatch (lax.scan); amortizes the dispatch "
@@ -793,6 +801,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         log_images_frequency=args.log_images_frequency,
         device_cache=args.device_cache,
         steps_per_dispatch=args.steps_per_dispatch,
+        device_cache_layout=args.device_cache_layout,
     )
     return 0
 

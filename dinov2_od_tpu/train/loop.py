@@ -209,6 +209,12 @@ def _finish_validation(
     results: List[dict], dataset, epoch: int, output_dir: str
 ) -> Dict[str, float]:
     metrics = compute_coco_metrics(results, dataset.coco_path)
+    return _write_val_metrics(metrics, epoch, output_dir)
+
+
+def _write_val_metrics(
+    metrics: Dict[str, float], epoch: int, output_dir: str
+) -> Dict[str, float]:
     metrics_file = os.path.join(output_dir, f"metrics_epoch_{epoch}.json")
     if jax.process_index() == 0:
         with open(metrics_file, "w") as f:
@@ -270,6 +276,7 @@ def run_training(
     log_images_frequency: int = 100,
     device_cache: bool = False,
     steps_per_dispatch: int = 8,
+    device_cache_layout: str = "auto",
 ) -> TrainState:
     os.makedirs(output_dir, exist_ok=True)
     num_epochs = num_epochs or cfg.num_epochs
@@ -335,66 +342,77 @@ def run_training(
 
     # Device-resident dataset cache + K-steps-per-dispatch
     # (train/device_cache.py): zero per-step H2D beyond the index array,
-    # dispatch round trip amortized K-fold. Single-host only.
+    # dispatch round trip amortized K-fold.
     cache = multi_step = val_cache_state = eval_all = None
+    val_evaluator = None
+    shard_cache = False
     if device_cache:
-        if pc > 1:
-            raise NotImplementedError(
-                "--device_cache is single-host (a pod keeps the per-host "
-                "loader path; the cache would need per-host sharding)"
-            )
         from .device_cache import (
             epoch_index_groups,
             make_cached_eval,
             make_multi_train_step,
+            sharded_batch_gather,
             upload_train_cache,
         )
 
-        cache = upload_train_cache(train_dataset, mesh)
+        # Layout: 'sharded' splits the cache rows over the data axis
+        # (capacity x data-axis size; per-step psum_scatter batch
+        # routing); 'replicated' keeps a full copy per device
+        # (collective-free gather); 'auto' shards whenever the data axis
+        # is >1 or the run is multi-host (the only multi-host layout —
+        # each process uploads just its addressable shards).
+        dsize = dict(mesh.shape).get(cfg.mesh.data_axis, 1)
+        if device_cache_layout == "sharded":
+            shard_cache = True
+        elif device_cache_layout == "auto":
+            shard_cache = dsize > 1 or pc > 1
+        if pc > 1 and not shard_cache:
+            raise ValueError(
+                "--device_cache on a multi-host run requires the sharded "
+                "layout (--device_cache_layout auto|sharded)"
+            )
+        cache = upload_train_cache(
+            train_dataset, mesh, shard=shard_cache,
+            data_axis=cfg.mesh.data_axis,
+        )
         multi_step = make_multi_train_step(
-            cfg, tx, mesh=mesh, batch_sharding_=bsharding
+            cfg, tx, mesh=mesh, batch_sharding_=bsharding,
+            sharded_cache=shard_cache, data_axis=cfg.mesh.data_axis,
         )
         if val_dataset is not None:
             eval_all = make_cached_eval(
                 cfg, mesh=mesh, parity_mode=parity_mode,
-                batch_sharding_=bsharding,
+                batch_sharding_=bsharding, replicate_out=pc > 1,
             )
-        if log_images_enabled:
+        if log_images_enabled and pc > 1:
             logger.warning(
-                "--log_images is a no-op under --device_cache "
-                "(batches never materialize on the host)"
+                "--log_images is a no-op under multi-host --device_cache"
+            )
+        fetch_keys = ("images", "boxes", "valid")
+        if shard_cache:
+            _fetch_log_batch = jax.jit(
+                lambda c, i: sharded_batch_gather(
+                    mesh, cfg.mesh.data_axis, c, i
+                )
+            )
+        else:
+            _fetch_log_batch = jax.jit(
+                lambda c, i: {k: c[k][i] for k in fetch_keys}
             )
 
-    if cfg.data.loader == "grain" and not device_cache:
-        if pc > 1:
-            raise NotImplementedError(
-                "multi-host runs use the threaded loader "
-                "(per-host batch slicing isn't wired into GrainLoader)"
-            )
-        from ..data.grain_pipeline import GrainLoader
-
-        loader = GrainLoader(
-            train_dataset,
-            cfg.data.batch_size,
-            shuffle=True,
-            seed=cfg.seed,
-            drop_last=True,
-            num_workers=cfg.data.num_workers,
-        )
-    else:
-        # Multi-host: every process builds the same global batch order
-        # (same seed) and decodes only its slice; device_prefetch
-        # assembles the global arrays (data/loader.py).
-        loader = DataLoader(
-            train_dataset,
-            cfg.data.batch_size,
-            shuffle=True,
-            seed=cfg.seed,
-            drop_last=True,
-            num_workers=cfg.data.num_workers,
-            process_count=pc,
-            process_id=pid,
-        )
+    # Multi-host: every process builds the same global batch order
+    # (same seed) and decodes only its slice; device_prefetch
+    # assembles the global arrays (data/loader.py).
+    loader = DataLoader(
+        train_dataset,
+        cfg.data.batch_size,
+        shuffle=True,
+        seed=cfg.seed,
+        drop_last=True,
+        num_workers=cfg.data.num_workers,
+        process_count=pc,
+        process_id=pid,
+    )
     rng = jax.random.key(cfg.seed)
     global_step = start_epoch * max(len(loader), 1) + start_batch
     if global_step:
@@ -516,6 +534,26 @@ def run_training(
                     loss = _log_step(metrics, lambda v: float(v[-1]))
                     if hasattr(giter, "set_postfix"):
                         giter.set_postfix(loss=f"{loss:.3f}")
+                if (
+                    log_images_enabled
+                    and writer is not None
+                    and pc == 1
+                    and prev // log_images_frequency
+                    != steps_done // log_images_frequency
+                ):
+                    # One batch gathered back to host at the image-log
+                    # cadence (the cache otherwise never materializes
+                    # host-side).
+                    lb = _fetch_log_batch(
+                        {k: cache[k] for k in fetch_keys},
+                        jnp.asarray(grp[-1]),
+                    )
+                    log_images(
+                        writer, np.asarray(lb["images"]), global_step,
+                        tag="train/images",
+                        gt_boxes=np.asarray(lb["boxes"]),
+                        gt_valid=np.asarray(lb["valid"]),
+                    )
         else:
             loader.set_epoch(epoch)
             steps_per_epoch = len(loader)
@@ -617,19 +655,30 @@ def run_training(
 
                 if val_cache_state is None:
                     val_cache_state = upload_eval_cache(
-                        val_dataset, cfg.data.batch_size, mesh
+                        val_dataset, cfg.data.batch_size, mesh,
+                        shard=shard_cache, data_axis=cfg.mesh.data_axis,
                     )
                 vc, vids, vn = val_cache_state
-                results = evaluate_cached(
+                arrays = evaluate_cached(
                     eval_all, eval_params, vc, vids, vn,
                     val_dataset.label_to_cat_id,
                     output_file=os.path.join(
                         output_dir, f"predictions_epoch_{epoch}.json"
                     ),
                     parity_mode=parity_mode,
+                    return_arrays=True,
                 )
-                metrics = _finish_validation(
-                    results, val_dataset, epoch, output_dir
+                # Array-native scoring: GT json parsed once per run (the
+                # evaluator is cached) and no COCO result dicts on the
+                # validation cadence (VERDICT r4: the all-K-detections
+                # worst case was host-bound on dict building).
+                if val_evaluator is None:
+                    from ..evaluation.coco_metrics import CocoEvaluator
+
+                    val_evaluator = CocoEvaluator(val_dataset.coco_path)
+                metrics = _write_val_metrics(
+                    val_evaluator.evaluate_arrays(*arrays), epoch,
+                    output_dir,
                 )
             else:
                 metrics = validate(

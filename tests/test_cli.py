@@ -127,7 +127,10 @@ def test_only_evaluate_val(synth, tmp_path):
     assert metrics_files
     with open(os.path.join(out, metrics_files[0])) as f:
         metrics = json.load(f)
-    assert set(metrics) == {"AP", "AP50", "AP75", "APs", "APm", "APl"}
+    assert set(metrics) == {
+        "AP", "AP50", "AP75", "APs", "APm", "APl",
+        "AR1", "AR10", "AR100", "ARs", "ARm", "ARl",
+    }
 
 
 def test_only_evaluate_testdev_with_test_mini(synth, tmp_path):
@@ -241,23 +244,6 @@ def test_pipeline_parallel_via_cli(synth, tmp_path):
     with open(hist_file) as f:
         hist = json.load(f)
     assert np.isfinite(hist["train_loss"][0])
-
-
-@pytest.mark.slow
-def test_grain_loader_via_cli(synth, tmp_path):
-    """--loader grain trains end-to-end through the Grain input pipeline
-    (previously library-only; VERDICT r2 weak item 7)."""
-    pytest.importorskip("grain")
-    images_dir, ann_file = synth
-    out = str(tmp_path / "run_grain")
-    assert main([
-        "--train_images", images_dir, "--train_annotations", ann_file,
-        "--debug", "--debug_samples", "8", "--lightweight",
-        "--image_size", "56", "--batch_size", "4", "--num_classes", "6",
-        "--output_dir", out, "--val_frequency", "100",
-        "--num_epochs", "1", "--loader", "grain",
-    ]) == 0
-    assert os.path.isdir(os.path.join(out, "checkpoint_epoch_0"))
 
 
 def test_cp_pp_flags_exclusive():

@@ -285,3 +285,30 @@ def test_gt_sort_puts_ignored_last_but_matchable(tmp_path):
     assert m["APs"] == pytest.approx(1.0)
     assert m["APl"] == pytest.approx(1.0)
     assert m["AP"] == pytest.approx(1.0)
+
+
+def test_evaluate_arrays_matches_evaluate(tmp_path):
+    """The array-native entry point (evaluate_arrays) reproduces
+    evaluate()'s 12 stats exactly on a randomized scene."""
+    import json
+
+    from test_coco_eval_fuzz import _random_scene
+
+    rng = np.random.default_rng(123)
+    gt, results = _random_scene(rng)
+    ann = tmp_path / "gt.json"
+    ann.write_text(json.dumps(gt))
+
+    want = CocoEvaluator(str(ann)).evaluate(results)
+    ids = np.asarray([r["image_id"] for r in results])
+    cats = np.asarray([r["category_id"] for r in results])
+    boxes = np.asarray([r["bbox"] for r in results]).reshape(-1, 4)
+    scores = np.asarray([r["score"] for r in results])
+    got = CocoEvaluator(str(ann)).evaluate_arrays(ids, cats, boxes, scores)
+    assert got == want
+    # Empty detections: same handling.
+    empty = CocoEvaluator(str(ann)).evaluate_arrays(
+        np.zeros(0, np.int64), np.zeros(0, np.int64),
+        np.zeros((0, 4)), np.zeros(0),
+    )
+    assert empty == CocoEvaluator(str(ann)).evaluate([])

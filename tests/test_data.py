@@ -151,29 +151,6 @@ def test_postprocess_parity_mode():
     assert all(max(r["bbox"]) <= 1.0 for r in parity)
 
 
-def test_grain_loader_matches_threaded_loader(coco_fixture):
-    """The Grain-backed loader yields the same batch format; shuffle is
-    epoch-seeded like the default loader."""
-    grain_mod = pytest.importorskip("grain")
-    from dinov2_od_tpu.data.grain_pipeline import GrainLoader
-
-    images_dir, ann_file = coco_fixture
-    ds = CocoDetectionDataset(images_dir, ann_file, image_size=32, max_boxes=8)
-    gl = GrainLoader(ds, batch_size=4, shuffle=True, seed=3, drop_last=True)
-    batches = list(gl)
-    assert len(batches) == 2
-    assert batches[0]["images"].shape == (4, 32, 32, 3)
-    assert batches[0]["boxes"].shape == (4, 8, 4)
-    ids0 = np.concatenate([b["image_id"] for b in batches])
-    ids0_again = np.concatenate([b["image_id"] for b in gl])
-    np.testing.assert_array_equal(ids0, ids0_again)
-    gl.set_epoch(1)
-    ids1 = np.concatenate([b["image_id"] for b in gl])
-    assert not np.array_equal(ids0, ids1)
-    # All ids are real dataset ids.
-    assert set(ids0.tolist()) <= set(d for d in ds.image_ids)
-
-
 def test_uint8_feed_matches_float_path(coco_fixture):
     """uint8 feed + in-jit prep_images == float32 host preprocessing:
     the deferred /255 + normalize must produce the same tensors."""

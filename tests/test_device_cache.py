@@ -236,3 +236,123 @@ def test_cli_device_cache_trains(synth_dataset, tmp_path):
     ])
     assert rc == 0
     assert (out / "metrics_epoch_1.json").exists()
+
+
+# ---------------------------------------------------------------------------
+# Sharded cache layout (rows over the data axis)
+# ---------------------------------------------------------------------------
+
+def _mesh8():
+    from dinov2_od_tpu.parallel import create_mesh
+
+    return create_mesh(model_parallel_size=1)
+
+
+def test_sharded_upload_capacity_and_gather(synth_dataset):
+    """Rows shard over the 8-way data axis (per-device HBM = n_pad/8
+    rows) and sharded_batch_gather returns exactly the requested rows."""
+    from dinov2_od_tpu.train.device_cache import sharded_batch_gather
+
+    mesh = _mesh8()
+    cache = upload_train_cache(synth_dataset, mesh, shard=True)
+    n_pad = cache["images"].shape[0]
+    assert n_pad == 16  # 10 rows padded to the 8-way axis
+    for arr in cache.values():
+        shard_rows = {s.data.shape[0] for s in arr.addressable_shards}
+        assert shard_rows == {n_pad // 8}
+
+    idx = jnp.asarray([9, 0, 3, 7, 2, 5, 1, 8], jnp.int32)
+    got = jax.jit(
+        lambda c, i: sharded_batch_gather(mesh, "data", c, i)
+    )(cache, idx)
+    full = upload_train_cache(synth_dataset)
+    for k in full:
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(full[k][np.asarray(idx)])
+        )
+
+
+def test_sharded_multi_step_trajectory_matches_replicated():
+    """Bit-compatible trajectory: the sharded-cache multi-step produces
+    the same params/losses as the replicated-cache multi-step (the
+    psum_scatter gather has exactly one contributor per row)."""
+    from dinov2_od_tpu.parallel import batch_sharding, shard_params
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    cfg = _tiny_cfg()
+    mesh = _mesh8()
+    params = init_detector_params(jax.random.key(0), cfg.detector)
+    tx = make_optimizer(cfg.optim, cfg.detector, params)
+    host = _cache(cfg, n=16)
+    rng = jax.random.key(7)
+    idxs = jnp.asarray(
+        np.random.default_rng(1).integers(0, 16, size=(3, 8)), jnp.int32
+    )
+    bs = batch_sharding(mesh)
+
+    copy = lambda p: jax.tree.map(jnp.array, p)
+
+    # Replicated layout.
+    rep = {
+        k: jax.device_put(v, NamedSharding(mesh, PartitionSpec()))
+        for k, v in host.items()
+    }
+    state_a = create_train_state(
+        shard_params(copy(params), mesh), cfg.optim, cfg.detector
+    )
+    multi_a = make_multi_train_step(cfg, tx, mesh=mesh, batch_sharding_=bs)
+    state_a, ma = multi_a(state_a, rep, idxs, rng)
+
+    # Sharded layout.
+    sh = NamedSharding(mesh, PartitionSpec("data"))
+    shd = {
+        k: jax.make_array_from_callback(
+            v.shape, sh, lambda i, v=np.asarray(v): v[i]
+        )
+        for k, v in host.items()
+    }
+    state_b = create_train_state(
+        shard_params(copy(params), mesh), cfg.optim, cfg.detector
+    )
+    multi_b = make_multi_train_step(
+        cfg, tx, mesh=mesh, batch_sharding_=bs, sharded_cache=True
+    )
+    state_b, mb = multi_b(state_b, shd, idxs, rng)
+
+    np.testing.assert_allclose(
+        np.asarray(ma["loss"]), np.asarray(mb["loss"]), rtol=1e-6
+    )
+    for la, lb in zip(
+        jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=1e-5, atol=1e-7
+        )
+
+
+def test_sharded_eval_cache_matches_replicated(synth_dataset):
+    """Sharded eval cache (batch dim over 'data') returns the same
+    result dicts as the replicated cache."""
+    from dinov2_od_tpu.parallel import batch_sharding
+    from dinov2_od_tpu.train.device_cache import evaluate_cached
+
+    cfg = _tiny_cfg()
+    mesh = _mesh8()
+    params = init_detector_params(jax.random.key(0), cfg.detector)
+    bs = batch_sharding(mesh)
+    eval_all = make_cached_eval(cfg, mesh=mesh, batch_sharding_=bs)
+
+    c_rep, ids, n = upload_eval_cache(synth_dataset, 8, mesh)
+    want = evaluate_cached(
+        eval_all, params, c_rep, ids, n, synth_dataset.label_to_cat_id
+    )
+    c_sh, ids2, n2 = upload_eval_cache(synth_dataset, 8, mesh, shard=True)
+    got = evaluate_cached(
+        eval_all, params, c_sh, ids2, n2, synth_dataset.label_to_cat_id
+    )
+    assert len(got) == len(want) and n2 == n
+    for a, b in zip(got, want):
+        assert a["image_id"] == b["image_id"]
+        assert a["category_id"] == b["category_id"]
+        np.testing.assert_allclose(a["bbox"], b["bbox"], rtol=1e-4, atol=1e-4)
+        assert abs(a["score"] - b["score"]) < 1e-5

@@ -89,12 +89,28 @@ def main() -> int:
         batch_sharding_=batch_sharding(mesh),
     )
 
+    # Second run, same config/seed, through the sharded device-resident
+    # cache (multi-host layout: each process uploads only its addressable
+    # row shards; batches routed by psum_scatter). The cache path
+    # consumes the DataLoader's exact batch order, so its trajectory must
+    # reproduce the loader run's.
+    cache_state = run_training(
+        cfg, init_detector_params(jax.random.key(0), det), ds, ds,
+        os.path.join(out_dir, "cache_run"),
+        num_epochs=1, val_frequency=1, checkpoint_every=1,
+        device_cache=True, steps_per_dispatch=2,
+    )
+
+    def _sums(params):
+        return {
+            jax.tree_util.keystr(path): float(np.sum(np.asarray(leaf)))
+            for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
+        }
+
     digest = {
         "pid": pid,
-        "param_sums": {
-            jax.tree_util.keystr(path): float(np.sum(np.asarray(leaf)))
-            for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]
-        },
+        "param_sums": _sums(state.params),
+        "cache_param_sums": _sums(cache_state.params),
         "n_results": len(results),
         "result_ids": sorted({r["image_id"] for r in results}),
         "score_sum": float(sum(r["score"] for r in results)),

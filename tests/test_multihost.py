@@ -137,6 +137,15 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert (out2 / "predictions_epoch_0.json").exists()
     assert (out2 / "final_model").exists()
 
+    # Sharded device-cache run (multi-host layout) reproduces the loader
+    # path's trajectory on both process counts (same batch order + rng).
+    for digest in (single, two[0], two[1]):
+        for k, v in digest["param_sums"].items():
+            np.testing.assert_allclose(
+                digest["cache_param_sums"][k], v, rtol=1e-4, atol=1e-5,
+                err_msg=f"cache vs loader: {k}",
+            )
+
 
 def test_initialize_multihost_passes_args(monkeypatch):
     """Explicit coordinator args must reach jax.distributed.initialize."""

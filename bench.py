@@ -67,8 +67,15 @@ def main() -> int:
             dtype="bfloat16",
             # Full depth unroll: the scan backward's dynamic-update-slice
             # gradient stacking costs ~15ms/step at ViT-B batch 32
-            # (trace-verified); unrolled = 507 vs 407 img/s.
-            scan_unroll=0,
+            # (trace-verified); unrolled = 507 vs 407 img/s. EXCEPT
+            # giant: 40 unrolled 1536-wide blocks make an HLO module the
+            # relay's remote-compile service cannot digest — the scanned
+            # backbone keeps compile size O(1 block).
+            scan_unroll=int(
+                os.environ.get(
+                    "BENCH_SCAN_UNROLL", "1" if model == "giant" else "0"
+                )
+            ),
             # BENCH_PREFIX_INT8=1: int8 forward for the frozen prefix
             # blocks (stop-gradiented -> pure inference; BENCH.md).
             prefix_int8=os.environ.get("BENCH_PREFIX_INT8", "0") == "1",

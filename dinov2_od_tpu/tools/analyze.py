@@ -62,11 +62,18 @@ def analyze_metrics(metrics_file: str) -> Optional[Dict[str, float]]:
         return None
 
     print("\n===== MODEL PERFORMANCE METRICS =====")
-    for key, desc in (
+    stat_descs = (
         ("AP", "Average Precision"), ("AP50", "AP at IoU=0.5"),
         ("AP75", "AP at IoU=0.75"), ("APs", "AP small"),
         ("APm", "AP medium"), ("APl", "AP large"),
-    ):
+        ("AR1", "Average Recall, 1 det"), ("AR10", "AR, 10 dets"),
+        ("AR100", "AR, 100 dets"), ("ARs", "AR small"),
+        ("ARm", "AR medium"), ("ARl", "AR large"),
+    )
+    for key, desc in stat_descs:
+        # AR stats absent in metrics files written before round 5.
+        if key.startswith("AR") and key not in metrics:
+            continue
         print(f"{key} ({desc}): {metrics.get(key, float('nan')):.4f}")
 
     try:

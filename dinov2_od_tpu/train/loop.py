@@ -4,6 +4,7 @@ main_worker, :514-1351)."""
 
 from __future__ import annotations
 
+import functools
 import json
 import logging
 import os
@@ -208,8 +209,19 @@ def validate(
 def _finish_validation(
     results: List[dict], dataset, epoch: int, output_dir: str
 ) -> Dict[str, float]:
-    metrics = compute_coco_metrics(results, dataset.coco_path)
+    metrics = _cached_evaluator(dataset.coco_path).evaluate(results)
     return _write_val_metrics(metrics, epoch, output_dir)
+
+
+@functools.lru_cache(maxsize=4)
+def _cached_evaluator(coco_path: str):
+    """One CocoEvaluator per GT file per process: the GT json parse +
+    per-(image, category) array preparation happens once per run, not
+    once per validation epoch (instances_val2017.json alone is ~450 MB
+    of text to re-parse otherwise)."""
+    from ..evaluation.coco_metrics import CocoEvaluator
+
+    return CocoEvaluator(coco_path)
 
 
 def _write_val_metrics(
@@ -344,7 +356,6 @@ def run_training(
     # (train/device_cache.py): zero per-step H2D beyond the index array,
     # dispatch round trip amortized K-fold.
     cache = multi_step = val_cache_state = eval_all = None
-    val_evaluator = None
     shard_cache = False
     if device_cache:
         from .device_cache import (
@@ -672,13 +683,10 @@ def run_training(
                 # evaluator is cached) and no COCO result dicts on the
                 # validation cadence (VERDICT r4: the all-K-detections
                 # worst case was host-bound on dict building).
-                if val_evaluator is None:
-                    from ..evaluation.coco_metrics import CocoEvaluator
-
-                    val_evaluator = CocoEvaluator(val_dataset.coco_path)
                 metrics = _write_val_metrics(
-                    val_evaluator.evaluate_arrays(*arrays), epoch,
-                    output_dir,
+                    _cached_evaluator(val_dataset.coco_path)
+                    .evaluate_arrays(*arrays),
+                    epoch, output_dir,
                 )
             else:
                 metrics = validate(

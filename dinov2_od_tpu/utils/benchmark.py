@@ -102,23 +102,43 @@ def measure_steps_per_sec(step_fn, state, batch, rng, iters: int = 10) -> Tuple[
 
         return jax.lax.fori_loop(0, n, body, state)
 
-    # Warm up / compile.
+    @jax.jit
+    def probe_sum(st):
+        # A FRESH derived scalar (one element per param leaf): a brand-new
+        # output buffer every call, so the remote runtime can never serve
+        # its readback from a stale copy. Reading an UNCHANGED leaf slice
+        # (e.g. a frozen backbone weight, which XLA aliases input->output)
+        # did not reliably order after execution on the relay — the giant
+        # warmup leaked into the 1-step baseline and the subtraction went
+        # negative (BENCH.md round 5).
+        acc = jnp.zeros((), jnp.float32)
+        for leaf in jax.tree_util.tree_leaves(st.params):
+            acc = acc + leaf.ravel()[0].astype(jnp.float32)
+        return acc
+
+    def timed(st0, n):
+        t0 = time.perf_counter()
+        st1 = run_n(st0, batch, rng, n)
+        _ = float(probe_sum(st1))
+        return time.perf_counter() - t0, st1
+
+    # Warm up / compile, then one throwaway baseline round that drains
+    # any execution still in flight behind the warmup's readback.
     st = run_n(state, batch, rng, 1)
-    probe = jax.tree_util.tree_leaves(st.params)[0]
-    _ = float(jnp.sum(probe.ravel()[:1].astype(jnp.float32)))
+    _ = float(probe_sum(st))
+    _, st = timed(st, 1)
 
-    t0 = time.perf_counter()
-    st = run_n(st, batch, rng, 1)
-    probe = jax.tree_util.tree_leaves(st.params)[0]
-    _ = float(jnp.sum(probe.ravel()[:1].astype(jnp.float32)))
-    t_base = time.perf_counter() - t0
-
+    t_base, st = timed(st, 1)
     n = iters
-    t0 = time.perf_counter()
-    st = run_n(st, batch, rng, 1 + n)
-    probe = jax.tree_util.tree_leaves(st.params)[0]
-    _ = float(jnp.sum(probe.ravel()[:1].astype(jnp.float32)))
-    t_total = time.perf_counter() - t0
-
-    per = max((t_total - t_base) / n, 1e-9)
+    t_total, st = timed(st, 1 + n)
+    if t_total <= t_base * 1.05:
+        # Degenerate subtraction (async backlog contaminated the
+        # baseline): re-drain and re-measure once with a longer run.
+        t_base, st = timed(st, 1)
+        n = 4 * iters
+        t_total, st = timed(st, 1 + n)
+    per = (t_total - t_base) / n
+    if per <= 0:
+        # Last resort: overhead-inclusive bound (never a bogus 1e-9).
+        per = t_total / (1 + n)
     return per, 1.0 / per

@@ -113,9 +113,20 @@ def _run(x2d, w_q, w_scale, bias, interpret=False):
             x2d.dtype
         )
     # K in VMEM three times over ([bm, K] bf16 x, int8 x_q, plus the
-    # [K, bn] weight slab): size bm down as K grows.
-    bm = _pick_block(m, 1024 if k <= 1024 else 512, _SUBLANE)
-    bn = _pick_block(n, 1024, 128)
+    # [K, bn] weight slab): size bm (and at giant widths bn) down as K
+    # grows. Budget check at the worst case (K=4096, giant swiglu fc2:
+    # bf16[4352,4096] x s8[4096,1536]): double-buffered blocks
+    # 2*(256*4096*2 + 4096*512 + 256*512*2) + scratch 256*4096 = ~10M
+    # of the 16M scoped vmem — the former (512, 1024) blocks hit 17.8M
+    # and failed to compile (round 5).
+    if k <= 1024:
+        bm_t, bn_t = 1024, 1024
+    elif k <= 2048:
+        bm_t, bn_t = 512, 1024
+    else:
+        bm_t, bn_t = 256, 512
+    bm = _pick_block(m, bm_t, _SUBLANE)
+    bn = _pick_block(n, bn_t, 128)
     return pl.pallas_call(
         _kernel,
         grid=(m // bm, n // bn),

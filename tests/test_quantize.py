@@ -92,7 +92,10 @@ def test_fused_int8_gemm_matches_unfused(rng):
     interpret mode on CPU, fc2-like and non-divisible-M shapes."""
     from dinov2_od_tpu.ops.int8_gemm import fused_int8_linear, int8_gemm_eligible
 
-    for m, k, n in ((64, 2048, 256), (61, 2048, 256)):  # 61: M padding
+    # 61: M padding; (64, 4096, 1536): giant swiglu fc2 shape family —
+    # exercises the K>2048 block sizing whose former (512, 1024) blocks
+    # blew the 16M scoped-vmem budget on the real chip (round 5).
+    for m, k, n in ((64, 2048, 256), (61, 2048, 256), (64, 4096, 1536)):
         assert int8_gemm_eligible(m, k, n)
         w = jnp.asarray(rng.normal(size=(k, n)).astype(np.float32))
         b = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))

@@ -342,6 +342,16 @@ def bench_device_cache(packed_dir: str, image_size: int, batch: int,
     print(f"  device-cache eval: {rate:.1f} img/s over {n} images, "
           f"{len(results)} detections")
     out["eval_device_cache"] = rate
+
+    # The round-5 validation cadence: flat arrays for
+    # CocoEvaluator.evaluate_arrays, no COCO dicts at all.
+    t0 = time.perf_counter()
+    arrays = evaluate_cached(eval_all, eval_params, ecache, ids, n,
+                             ds.label_to_cat_id, return_arrays=True)
+    rate = n / (time.perf_counter() - t0)
+    print(f"  device-cache eval (array-native): {rate:.1f} img/s, "
+          f"{len(arrays[0])} detections")
+    out["eval_device_cache_arrays"] = rate
     return out
 
 
